@@ -1,0 +1,21 @@
+"""groonga_spark — a PySpark-native fulltext analytics engine.
+
+A brand-new implementation (NOT a port) of the query / data-processing
+capabilities of the reference engine (ohkubo/groonga — a Groonga tree;
+see SURVEY.md): inverted-index build (term-sorted docID deltas, varbyte
+compression, skip-block metadata), multi-way segment merge with explicit
+skew salting, BM25 top-k with block-max WAND, Groonga-style bigram /
+whitespace tokenization with NFKC normalization, drilldowns, score-carrying
+result-set algebra, and the scalar-function surface — re-expressed as
+idiomatic Spark: DataFrames + vectorized Arrow/pandas UDFs, with Catalyst
+doing pushdown/pruning and partitioning/skew handled explicitly.
+
+Reference citations in docstrings use the convention ``[G: path · symbol]``
+meaning "the public groonga/groonga source tree" (the /root/reference mount
+was empty at survey time — SURVEY.md §0); they identify the capability
+being re-expressed, not code that was copied.
+"""
+
+__version__ = "0.1.0"
+
+from groonga_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,193 @@
+"""Groonga-style tokenizers, vectorized with numpy over codepoint arrays.
+
+Re-expresses [G: lib/tokenizers.c · TokenBigram / TokenDelimit] semantics
+(see SURVEY.md §2.9b). The reference tokenizes record-at-a-time inside a C
+cursor [G: lib/token_cursor.c · grn_token_cursor_next]; here a whole Arrow
+batch of documents is tokenized at once:
+
+  1. concatenate the batch into one string, decode to a uint32 codepoint
+     array (one C call: ``str.encode('utf-32-le')`` → ``np.frombuffer``);
+  2. classify every codepoint with a precomputed class table (SPACE /
+     ALPHA / DIGIT / SYMBOL / NGRAM);
+  3. run-length segment (numpy diff/flatnonzero), never crossing document
+     boundaries;
+  4. expand runs to tokens with repeat/arange arithmetic — whole tokens
+     for alpha/digit/symbol runs, overlapping bigrams + trailing unigram
+     for NGRAM (CJK) runs;
+  5. slice token strings out of the joined string (the only per-token
+     Python step — string materialization for Arrow).
+
+TOKENIZER SEMANTICS (frozen; golden fixtures tests/golden_tokens.jsonl):
+
+``bigram``  — Groonga TokenBigram class: continuous runs of alphabet,
+  digit, or symbol codepoints each emit ONE whole token (runs do not merge
+  across classes: "abc123" → "abc","123"); CJK-script runs of length n emit
+  n-1 overlapping bigrams plus a trailing unigram (run length 1 → one
+  unigram); whitespace is skipped. Positions are sequential token-stream
+  indices per document.
+
+``delimit`` — Groonga TokenDelimit class: split on Unicode whitespace
+  runs only; punctuation stays inside tokens.
+
+Input must already be normalized (normalize.py). Query and index sides use
+THIS SAME function — the single source of truth the rank-identity contract
+depends on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SPACE, ALPHA, DIGIT, SYMBOL, NGRAM = 0, 1, 2, 3, 4
+
+_TABLE_LIMIT = 0x30000  # BMP + SMP + CJK Ext B; above → range fallback
+
+# CJK-script ranges that bigram (Han, Kana, Hangul, Bopomofo, Yi).
+_NGRAM_RANGES = (
+    (0x1100, 0x11FF),   # Hangul Jamo
+    (0x2E80, 0x2FDF),   # CJK radicals / Kangxi
+    (0x3040, 0x30FF),   # Hiragana, Katakana
+    (0x3105, 0x312F),   # Bopomofo
+    (0x3130, 0x318F),   # Hangul compat Jamo
+    (0x31A0, 0x31BF),   # Bopomofo ext
+    (0x31F0, 0x31FF),   # Katakana phonetic ext
+    (0x3400, 0x4DBF),   # CJK Ext A
+    (0x4E00, 0x9FFF),   # CJK Unified
+    (0xA000, 0xA48F),   # Yi
+    (0xAC00, 0xD7AF),   # Hangul syllables
+    (0xF900, 0xFAFF),   # CJK compat
+    (0xFF66, 0xFF9F),   # halfwidth Katakana (pre-NFKC input safety)
+    (0x20000, 0x2FFFF),  # CJK Ext B..F
+)
+
+_CLASS_TABLE: np.ndarray | None = None
+
+
+def _build_class_table() -> np.ndarray:
+    """Codepoint → class lookup, built once per process from unicodedata.
+
+    The reference bakes equivalent tables at code-generation time
+    [G: lib/nfkc*.c]; we derive them at import from the same Unicode
+    character database. ~0.1 s once per executor process.
+    """
+    import unicodedata
+
+    t = np.full(_TABLE_LIMIT, SYMBOL, dtype=np.uint8)
+    for lo, hi in _NGRAM_RANGES:
+        if lo < _TABLE_LIMIT:
+            t[lo : min(hi + 1, _TABLE_LIMIT)] = NGRAM
+    ngram = t == NGRAM
+    for cp in range(_TABLE_LIMIT):
+        if ngram[cp]:
+            continue
+        ch = chr(cp)
+        if ch.isspace():
+            t[cp] = SPACE
+            continue
+        cat = unicodedata.category(ch)
+        c0 = cat[0]
+        if c0 == "L" or c0 == "M":  # letters; combining marks bind to them
+            t[cp] = ALPHA
+        elif cat == "Nd":
+            t[cp] = DIGIT
+        # else SYMBOL (default)
+    return t
+
+
+def _class_table() -> np.ndarray:
+    global _CLASS_TABLE
+    if _CLASS_TABLE is None:
+        _CLASS_TABLE = _build_class_table()
+    return _CLASS_TABLE
+
+
+def _classify(cp: np.ndarray) -> np.ndarray:
+    table = _class_table()
+    cls = np.where(cp < _TABLE_LIMIT, table[np.minimum(cp, _TABLE_LIMIT - 1)], SYMBOL)
+    if (cp >= _TABLE_LIMIT).any():
+        # planes 3+ are Han extensions → NGRAM
+        cls = np.where((cp >= 0x30000) & (cp <= 0x3FFFF), NGRAM, cls).astype(np.uint8)
+    return cls.astype(np.uint8)
+
+
+def tokenize_batch(
+    texts: "pd.Series | list[str]", mode: str = "bigram"
+) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """Tokenize a batch of (already normalized) texts.
+
+    Returns ``(row_idx, terms, pos)`` — parallel arrays of the exploded
+    token stream: ``row_idx[i]`` is the 0-based index into ``texts`` of
+    token ``terms[i]`` at in-document position ``pos[i]``.
+    """
+    if isinstance(texts, pd.Series):
+        texts = texts.tolist()
+    texts = ["" if t is None else t for t in texts]
+    joined = "".join(texts)
+    empty = (np.empty(0, np.int64), [], np.empty(0, np.int64))
+    if not joined:
+        return empty
+
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cp)
+    doc_ends = np.cumsum(np.fromiter((len(t) for t in texts), np.int64, len(texts)))
+
+    cls = _classify(cp)
+    if mode == "delimit":
+        cls = np.where(cls == SPACE, SPACE, ALPHA).astype(np.uint8)
+    elif mode != "bigram":
+        raise ValueError(f"unknown tokenizer mode: {mode}")
+
+    # run starts: position 0, class changes, document boundaries
+    change = np.flatnonzero(cls[1:] != cls[:-1]) + 1
+    starts = np.unique(np.concatenate([np.array([0], np.int64), change, doc_ends[:-1]]))
+    starts = starts[starts < n]
+    ends = np.append(starts[1:], n)
+    run_cls = cls[starts]
+
+    word_mask = (run_cls == ALPHA) | (run_cls == DIGIT) | (run_cls == SYMBOL)
+    ng_mask = run_cls == NGRAM
+
+    # whole-token runs → one token each
+    w_start = starts[word_mask]
+    w_end = ends[word_mask]
+
+    # NGRAM runs of length L → L tokens (L-1 bigrams + trailing unigram)
+    g_start = starts[ng_mask]
+    g_end = ends[ng_mask]
+    g_len = g_end - g_start
+    total_g = int(g_len.sum())
+    if total_g:
+        rep_start = np.repeat(g_start, g_len)
+        offs = np.arange(total_g) - np.repeat(np.cumsum(g_len) - g_len, g_len)
+        t_start = rep_start + offs
+        t_end = np.minimum(t_start + 2, np.repeat(g_end, g_len))
+    else:
+        t_start = np.empty(0, np.int64)
+        t_end = np.empty(0, np.int64)
+
+    tok_start = np.concatenate([w_start, t_start])
+    tok_end = np.concatenate([w_end, t_end])
+    order = np.argsort(tok_start, kind="stable")
+    tok_start = tok_start[order]
+    tok_end = tok_end[order]
+
+    if len(tok_start) == 0:
+        return empty
+
+    row_idx = np.searchsorted(doc_ends, tok_start, side="right")
+    # in-document position = token index within its document's stream
+    first_of_doc = np.flatnonzero(np.diff(row_idx, prepend=row_idx[0] - 1))
+    pos = np.arange(len(tok_start)) - np.repeat(
+        first_of_doc, np.diff(first_of_doc, append=len(tok_start))
+    )
+
+    # string materialization (per-token slice of one Python str; C-level)
+    terms = [joined[s:e] for s, e in zip(tok_start.tolist(), tok_end.tolist())]
+    return row_idx.astype(np.int64), terms, pos.astype(np.int64)
+
+
+def tokenize_str(text: str, mode: str = "bigram") -> list[tuple[str, int]]:
+    """Single-string convenience (query side, golden tests)."""
+    _, terms, pos = tokenize_batch([text], mode)
+    return list(zip(terms, pos.tolist()))

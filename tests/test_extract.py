@@ -1,0 +1,34 @@
+"""HTML→text extraction byte-identity contract (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from groonga_spark.extract import extract_text_series, extract_text_str
+from gen_pages import gen_pages
+
+
+def test_generator_roundtrip_byte_identity():
+    pages = gen_pages(300, seed=42)
+    for p in pages:
+        got = extract_text_str(p["html"])
+        assert got == p["text"], p["url"]
+        assert got.encode("utf-8") == p["text"].encode("utf-8")
+
+
+def test_series_matches_scalar():
+    pages = gen_pages(50, seed=7)
+    s = extract_text_series(pd.Series([p["html"] for p in pages]))
+    for i, p in enumerate(pages):
+        assert s.iloc[i] == p["text"]
+
+
+def test_multi_paragraph_and_entities():
+    h = b"<html><head><title>t</title></head><body><p>a &amp; b</p><p>c &lt;d&gt;</p></body></html>"
+    assert extract_text_str(h) == "a & b\nc <d>"
+
+
+def test_determinism_across_calls():
+    a = gen_pages(100, seed=42)
+    b = gen_pages(100, seed=42)
+    assert a == b

@@ -1,0 +1,73 @@
+"""Tokenizer/normalizer byte-identity golden tests (SURVEY.md §5.2.1).
+
+Model: the reference's golden command suites
+[G: test/command/suite/tokenizers/*, .../normalizers/*] — tiny fixture →
+exact expected output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from groonga_spark.normalize import normalize_str, normalize_series
+from groonga_spark.tokenize import tokenize_batch, tokenize_str
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_tokens.jsonl")
+
+
+def _cases():
+    with open(GOLDEN) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+@pytest.mark.parametrize("case", _cases(), ids=lambda c: c["id"])
+def test_golden(case):
+    got = tokenize_str(normalize_str(case["text"]), mode=case["mode"])
+    expected = [(e["term"], e["pos"]) for e in case["expected"]]
+    assert got == expected
+
+
+def test_batch_equals_per_string():
+    """Batch tokenization must be independent of batching (the index and
+    query sides may batch differently; results must not differ)."""
+    texts = [normalize_str(c["text"]) for c in _cases() if c["mode"] == "bigram"]
+    rows, terms, pos = tokenize_batch(texts, "bigram")
+    per_doc: dict[int, list] = {i: [] for i in range(len(texts))}
+    for r, t, p in zip(rows.tolist(), terms, pos.tolist()):
+        per_doc[r].append((t, p))
+    for i, t in enumerate(texts):
+        assert per_doc[i] == tokenize_str(t, "bigram"), texts[i]
+
+
+def test_batch_boundaries_do_not_merge():
+    """Adjacent docs in one batch never merge runs across the boundary."""
+    rows, terms, pos = tokenize_batch(["abc", "def"], "bigram")
+    assert terms == ["abc", "def"]
+    assert rows.tolist() == [0, 1]
+    assert pos.tolist() == [0, 0]
+    rows, terms, pos = tokenize_batch(["日本", "語"], "bigram")
+    assert terms == ["日本", "本", "語"]
+    assert rows.tolist() == [0, 0, 1]
+
+
+def test_normalize_series_matches_str():
+    import pandas as pd
+
+    raw = [c["text"] for c in _cases()] + [None]
+    s = normalize_series(pd.Series(raw, dtype=object))
+    for i, t in enumerate(raw):
+        assert s.iloc[i] == (normalize_str(t) if t is not None else "")
+
+
+def test_positions_sequential_per_doc():
+    texts = ["one two three", "四五六 seven", ""]
+    rows, terms, pos = tokenize_batch(texts, "bigram")
+    rows = np.asarray(rows)
+    pos = np.asarray(pos)
+    for d in np.unique(rows):
+        p = pos[rows == d]
+        assert p.tolist() == list(range(len(p)))
