@@ -1,0 +1,236 @@
+"""Scalar-function surface — Groonga's callable procs re-expressed as
+Spark Column expressions (SURVEY.md §2.8).
+
+Every function here is registered in FUNCTIONS and stays JVM-side
+(whole-stage codegen) except snippet/highlight, which are Arrow-batched
+pandas UDFs (string surgery Spark lacks). Reference loci:
+[G: lib/proc.c + lib/proc/proc_*.c + plugins/functions/*.c].
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# string  [G: lib/proc.c · func string_length/string_slice; plugins/functions/string.c]
+# --------------------------------------------------------------------------
+
+
+def string_length(col) -> Column:
+    """Normalized-character count (Groonga counts normalized chars)."""
+    return F.length(col)
+
+
+def string_slice(col, start, length) -> Column:
+    """0-based slice (Groonga) → Spark 1-based substring shim."""
+    return F.substring(col, start + 1, length)
+
+
+def string_tokenize(col, mode: str = "bigram") -> Column:
+    """[G: lib/proc/proc_tokenize.c · proc_tokenize] as an Arrow UDF →
+    array<struct<term,pos>>."""
+    from pyspark.sql import types as T
+
+    from groonga_spark.normalize import normalize_series
+    from groonga_spark.tokenize import tokenize_batch
+
+    schema = T.ArrayType(
+        T.StructType(
+            [T.StructField("term", T.StringType()), T.StructField("pos", T.IntegerType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def _tok(s: pd.Series) -> pd.Series:
+        rows, terms, pos = tokenize_batch(normalize_series(s), mode)
+        out: list[list] = [[] for _ in range(len(s))]
+        for r, t, p in zip(rows.tolist(), terms, pos.tolist()):
+            out[r].append((t, p))
+        return pd.Series(out)
+
+    return _tok(col)
+
+
+def edit_distance(a, b) -> Column:
+    return F.levenshtein(a, b)
+
+
+# --------------------------------------------------------------------------
+# snippet / highlight  [G: lib/proc/proc_snippet.c, proc_highlight.c]
+# --------------------------------------------------------------------------
+
+
+def snippet_udf(keywords: list[str], width: int = 100, max_n: int = 3,
+                open_tag: str = "", close_tag: str = ""):
+    """KWIC extraction: up to max_n windows of ``width`` chars around
+    keyword hits (case-insensitive on normalized text)."""
+    from pyspark.sql import types as T
+
+    pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _snip(s: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return []
+            out = []
+            last_end = -1
+            for m in pat.finditer(text):
+                if len(out) >= max_n:
+                    break
+                lo = max(0, m.start() - width // 2)
+                hi = min(len(text), lo + width)
+                if lo <= last_end:
+                    continue
+                frag = text[lo:hi]
+                if open_tag or close_tag:
+                    frag = pat.sub(lambda mm: f"{open_tag}{mm.group(0)}{close_tag}", frag)
+                out.append(frag)
+                last_end = hi
+            return out
+
+        return s.map(one)
+
+    return _snip
+
+
+def highlight_html_udf(keywords: list[str]):
+    """Wrap keyword hits in <span class="keyword">…</span> after HTML-
+    escaping, like [G: lib/proc/proc_highlight.c · highlight_html]."""
+    import html as _html
+
+    from pyspark.sql import types as T
+
+    pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
+
+    @F.pandas_udf(T.StringType())
+    def _hl(s: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return None
+            esc = _html.escape(text, quote=False)
+            return pat.sub(
+                lambda m: f'<span class="keyword">{m.group(0)}</span>', esc
+            )
+
+        return s.map(one)
+
+    return _hl
+
+
+# --------------------------------------------------------------------------
+# math / misc  [G: lib/proc.c · func math_abs, number_round, rand, now]
+# --------------------------------------------------------------------------
+
+
+def math_abs(col) -> Column:
+    return F.abs(col)
+
+
+def number_round(col, scale: int = 0) -> Column:
+    return F.round(col, scale)
+
+
+def now() -> Column:
+    return F.current_timestamp()
+
+
+# --------------------------------------------------------------------------
+# time_classify_*  [G: plugins/functions/time.c · time_classify_*]
+# --------------------------------------------------------------------------
+
+_UNITS = {"second", "minute", "hour", "day", "week", "month", "year"}
+
+
+def time_classify(unit: str, col) -> Column:
+    if unit not in _UNITS:
+        raise ValueError(f"unknown unit {unit}")
+    return F.date_trunc(unit, col)
+
+
+def time_classify_minute_interval(col, n: int) -> Column:
+    """Floor ts to n-minute buckets (time_classify_*_interval family)."""
+    secs = F.unix_timestamp(col)
+    return F.timestamp_seconds((secs / (n * 60)).cast("long") * (n * 60))
+
+
+def time_format(col, fmt: str) -> Column:
+    return F.date_format(col, fmt)
+
+
+def time_format_iso8601(col) -> Column:
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+
+# --------------------------------------------------------------------------
+# vector_*  [G: lib/proc.c / plugins/functions/vector.c]
+# --------------------------------------------------------------------------
+
+
+def vector_size(col) -> Column:
+    return F.size(col)
+
+
+def vector_slice(col, i: int, n: int) -> Column:
+    return F.slice(col, i + 1, n)
+
+
+def vector_new(*cols) -> Column:
+    return F.array(*cols)
+
+
+def vector_find(col, value) -> Column:
+    """0-based index or -1, from Spark's 1-based array_position."""
+    return (F.array_position(col, value) - 1).cast("long")
+
+
+def vector_join(col, sep: str) -> Column:
+    return F.array_join(col, sep)
+
+
+# --------------------------------------------------------------------------
+# predicates  [G: lib/proc.c · func between/in_values/all_records]
+# --------------------------------------------------------------------------
+
+
+def between(col, lo, lo_border: str, hi, hi_border: str) -> Column:
+    left = col >= lo if lo_border == "include" else col > lo
+    right = col <= hi if hi_border == "include" else col < hi
+    return left & right
+
+
+def in_values(col, *values) -> Column:
+    return col.isin(*values)
+
+
+def all_records() -> Column:
+    return F.lit(True)
+
+
+FUNCTIONS = {
+    "string_length": string_length,
+    "string_slice": string_slice,
+    "string_tokenize": string_tokenize,
+    "edit_distance": edit_distance,
+    "snippet": snippet_udf,
+    "highlight_html": highlight_html_udf,
+    "math_abs": math_abs,
+    "number_round": number_round,
+    "now": now,
+    "time_classify": time_classify,
+    "time_classify_minute_interval": time_classify_minute_interval,
+    "time_format": time_format,
+    "time_format_iso8601": time_format_iso8601,
+    "vector_size": vector_size,
+    "vector_slice": vector_slice,
+    "vector_new": vector_new,
+    "vector_find": vector_find,
+    "vector_join": vector_join,
+    "between": between,
+    "in_values": in_values,
+    "all_records": all_records,
+}

@@ -1,0 +1,157 @@
+"""Groonga query-syntax parser → tiny AST.
+
+Re-expresses [G: lib/expr.c · grn_expr_parse (GRN_EXPR_SYNTAX_QUERY)]:
+space-separated keywords AND by default, ``OR`` keyword, ``-`` prefix for
+AND-NOT, double-quoted phrases, parentheses. ~150 LoC recursive descent —
+the reference's lemon-generated ECMAScript grammar handles script syntax,
+which our Select API takes as Spark SQL expressions instead (select.py).
+
+A term whose tokenization yields multiple tokens (CJK bigrams, phrases)
+becomes a positional-adjacency Phrase — exactly the reference's query-side
+ngram adjacency requirement [G: lib/ii.c · grn_ii_select, token_info
+EX_NONE/EX_BOTH modes].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Term:
+    text: str
+
+
+@dataclass
+class Phrase:
+    text: str
+
+
+@dataclass
+class And:
+    children: list = field(default_factory=list)
+
+
+@dataclass
+class Or:
+    children: list = field(default_factory=list)
+
+
+@dataclass
+class Not:
+    """AND-NOT: attached to an And node's positive siblings."""
+
+    child: object = None
+
+
+def tokenize_query(q: str) -> list[tuple[str, str]]:
+    """Lex into (kind, value): LPAREN RPAREN OR NOT PHRASE TERM."""
+    out = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            out.append(("LPAREN", c))
+            i += 1
+        elif c == ")":
+            out.append(("RPAREN", c))
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            out.append(("PHRASE", q[i + 1 : j]))
+            i = j + 1
+        elif c == "-":
+            # '-' is only seen at a token start (term scans consume embedded
+            # dashes), and a leading '-' is always AND-NOT in Groonga QL
+            out.append(("NOT", c))
+            i += 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            word = q[i:j]
+            if word == "OR":
+                out.append(("OR", word))
+            else:
+                out.append(("TERM", word))
+            i = j
+    return out
+
+
+def parse_query(q: str):
+    """Parse a query string → AST (Term/Phrase/And/Or/Not)."""
+    toks = tokenize_query(q)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else ("EOF", "")
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def parse_atom():
+        kind, val = peek()
+        if kind == "LPAREN":
+            take()
+            node = parse_or()
+            if peek()[0] == "RPAREN":
+                take()
+            return node
+        if kind == "PHRASE":
+            take()
+            return Phrase(val)
+        if kind == "TERM":
+            take()
+            return Term(val)
+        take()
+        return None
+
+    def parse_unary():
+        if peek()[0] == "NOT":
+            take()
+            a = parse_atom()
+            return Not(a) if a is not None else None
+        return parse_atom()
+
+    def parse_and():
+        children = []
+        while peek()[0] in ("TERM", "PHRASE", "LPAREN", "NOT"):
+            u = parse_unary()
+            if u is not None:
+                children.append(u)
+        if not children:
+            return None
+        if len(children) == 1 and not isinstance(children[0], Not):
+            return children[0]
+        return And(children)
+
+    def parse_or():
+        left = parse_and()
+        parts = [left] if left is not None else []
+        while peek()[0] == "OR":
+            take()
+            nxt = parse_and()
+            if nxt is not None:
+                parts.append(nxt)
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    return parse_or()
+
+
+def query_terms(node) -> list[str]:
+    """All raw term/phrase texts in the tree (for lexicon lookup)."""
+    if node is None:
+        return []
+    if isinstance(node, (Term, Phrase)):
+        return [node.text]
+    if isinstance(node, Not):
+        return query_terms(node.child)
+    return [t for c in node.children for t in query_terms(c)]

@@ -1,0 +1,58 @@
+"""BM25 scoring — the engine's standard scorer (BASELINE.json).
+
+The reference defaults to a tf-based ``_score`` with pluggable scorers
+[G: lib/scorer.c · grn_scorer_register; scorer_tf_idf]; this engine
+standardizes on BM25 (k1=1.2, b=0.75, params recorded in index meta):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d,t) = idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+All math is float64 end-to-end; per-term contributions are summed in
+term-sorted order (wand.py) so scores are bit-reproducible across
+parallelism — the rank-identity contract (BASELINE.md row 3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def idf(df: float, n_docs: float) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25(
+    tf: np.ndarray,
+    dl: np.ndarray,
+    df: float,
+    n_docs: float,
+    avgdl: float,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> np.ndarray:
+    """Vectorized BM25 for one term over posting arrays."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+    return idf(df, n_docs) * tf / denom
+
+
+def block_upper_bound(
+    max_tf: float,
+    min_dl: float,
+    df: float,
+    n_docs: float,
+    avgdl: float,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> float:
+    """Upper bound of any member score of a block (monotone in tf, anti-
+    monotone in dl) — used when stored block_max_score is stale (global
+    stats moved after an incremental append)."""
+    denom = max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
+    return idf(df, n_docs) * max_tf / denom

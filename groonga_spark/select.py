@@ -1,0 +1,288 @@
+"""The ``select`` workhorse — Groonga's primary query entry point as a
+composable DataFrame pipeline.
+
+Re-expresses [G: lib/proc/proc_select.c · grn_select] stage by stage
+(SURVEY.md §3.1): query/filter selection → post_filter → dynamic columns
+(with window functions) → slices → sort+offset+limit → drilldowns →
+output. Each Groonga stage is just *where in the DataFrame chain* the
+corresponding transformation goes; Catalyst owns optimization.
+
+Script-syntax ``filter`` strings are translated token-wise to Spark SQL
+(``&&``→AND, ``==``→=, ``@``→contains, …) — the reference compiles them
+to stack bytecode for a per-record VM [G: lib/expr.c · grn_expr_exec];
+we hand Catalyst an expression tree instead and stay in whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# script-syntax → Spark SQL translation
+# --------------------------------------------------------------------------
+
+_MATCH_OPS = [
+    # (groonga op, sql template)  — order matters (longest first)
+    (r"@\^", "startswith({col}, {val})"),
+    (r"@\$", "endswith({col}, {val})"),
+    (r"@~", "({col} RLIKE {val})"),
+    (r"@", "contains({col}, {val})"),
+]
+
+
+def script_to_sql(expr: str) -> str:
+    """Translate Groonga script-syntax boolean expr → Spark SQL string."""
+    s = expr
+    # match operators: col @ "value" (identifier/string forms)
+    for op, tmpl in _MATCH_OPS:
+        pat = re.compile(
+            r"([A-Za-z_][A-Za-z0-9_.]*)\s*" + op + r"\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+        )
+        while True:
+            m = pat.search(s)
+            if not m:
+                break
+            col, val = m.group(1), m.group(2)
+            if val.startswith('"'):
+                val = "'" + val[1:-1].replace("'", "\\'") + "'"
+            s = s[: m.start()] + tmpl.format(col=col, val=val) + s[m.end() :]
+    s = re.sub(r"&&", " AND ", s)
+    s = re.sub(r"\|\|", " OR ", s)
+    s = re.sub(r"(?<![<>!=])==(?!=)", "=", s)
+    s = re.sub(r"!(?![=])", " NOT ", s)
+    s = re.sub(r"\ball_records\(\)", "true", s)
+    s = re.sub(r"\bin_values\(\s*([^,\)]+)\s*,", r"\1 IN (", s)  # close paren reused
+    return s
+
+
+_WINDOW_FNS = {
+    "window_count": lambda args, w: F.count(F.lit(1)).over(w),
+    "window_sum": lambda args, w: F.sum(args[0]).over(w),
+    "window_rank": lambda args, w: F.rank().over(w),
+    "record_number": lambda args, w: F.row_number().over(w),
+    "window_record_number": lambda args, w: F.row_number().over(w),
+}
+
+
+def _dynamic_column(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """columns[NAME] with optional window (SURVEY.md §2.5): Groonga window
+    functions are whole-partition [G: lib/window_function_executor.c]."""
+    value = spec["value"]
+    win = spec.get("window")
+    m = re.match(r"\s*(\w+)\((.*)\)\s*$", value)
+    if win is not None and m and m.group(1) in _WINDOW_FNS:
+        gk = win.get("group_keys", [])
+        sk = win.get("sort_keys", [])
+        w = Window.partitionBy(*gk) if gk else Window.partitionBy()
+        if sk:
+            order = [
+                F.desc(c[1:]) if c.startswith("-") else F.asc(c) for c in sk
+            ]
+            w = w.orderBy(*order)
+        else:
+            w = w.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+        return df.withColumn(name, _WINDOW_FNS[m.group(1)](args, w))
+    return df.withColumn(name, F.expr(script_to_sql(value)))
+
+
+def _parse_sort_keys(sort_keys, score_col="_score", id_col="doc_id"):
+    out = []
+    if isinstance(sort_keys, str):
+        sort_keys = [k.strip() for k in sort_keys.split(",") if k.strip()]
+    for k in sort_keys or []:
+        desc = k.startswith("-")
+        name = k[1:] if desc else k
+        if name == "_score":
+            name = score_col
+        elif name == "_id":
+            name = id_col
+        out.append(F.desc(name) if desc else F.asc(name))
+    return out
+
+
+_CALC_FNS = {
+    "COUNT": lambda t: F.count(F.lit(1)).alias("_nsubrecs"),
+    "SUM": lambda t: F.sum(t).alias("_sum"),
+    "MAX": lambda t: F.max(t).alias("_max"),
+    "MIN": lambda t: F.min(t).alias("_min"),
+    "AVG": lambda t: F.avg(t).alias("_avg"),
+    "MEAN": lambda t: F.avg(t).alias("_avg"),
+}
+
+
+def _drilldown(df: DataFrame, spec) -> DataFrame:
+    """One drilldown [G: proc_select.c · drilldown exec → grn_table_group]:
+    groupBy keys, _nsubrecs count, optional calc_types aggregates, own
+    filter (HAVING) / sort / limit."""
+    if isinstance(spec, str):
+        spec = {"keys": [spec]}
+    keys = spec["keys"] if isinstance(spec["keys"], list) else [spec["keys"]]
+    calc_types = spec.get("calc_types", ["COUNT"])
+    target = spec.get("calc_target")
+    aggs = []
+    for ct in calc_types:
+        fn = _CALC_FNS[ct.upper()]
+        aggs.append(fn(target) if ct.upper() != "COUNT" else fn(None))
+    out = df.groupBy(*[F.col(k).alias(f"_key_{k}" if len(keys) > 1 else "_key") for k in keys]).agg(*aggs)
+    if spec.get("filter"):
+        out = out.filter(F.expr(script_to_sql(spec["filter"])))
+    sort = _parse_sort_keys(spec.get("sort_keys"), score_col="_nsubrecs", id_col="_key")
+    if sort:
+        out = out.orderBy(*sort)
+    if spec.get("limit") is not None:
+        out = out.limit(int(spec["limit"]))
+    return out
+
+
+@dataclass
+class SelectResult:
+    hits: DataFrame
+    n_hits: int
+    drilldowns: dict = field(default_factory=dict)
+    slices: dict = field(default_factory=dict)
+
+
+def select(
+    table: DataFrame,
+    index=None,
+    query: str | None = None,
+    filter: str | None = None,  # noqa: A002 — Groonga arg name
+    post_filter: str | None = None,
+    sort_keys=None,
+    offset: int = 0,
+    limit: int = 10,
+    output_columns=None,
+    drilldowns=None,
+    columns: dict | None = None,
+    slices: dict | None = None,
+    adjuster: list | None = None,
+    match_escalation_threshold: int | None = None,
+    id_col: str = "doc_id",
+) -> SelectResult:
+    """The grn_select pipeline over a DataFrame (+ optional fulltext index).
+
+    ``query`` needs ``index`` (a search.FulltextIndex whose doc ids match
+    ``table[id_col]``); everything else is pure DataFrame algebra.
+    """
+    df = table
+
+    # -- stage: columns[initial]
+    for name, spec in (columns or {}).items():
+        if spec.get("stage", "initial") == "initial":
+            df = _dynamic_column(df, name, spec)
+
+    # -- stage: selection (query via index ∧ filter via Catalyst)
+    if query is not None:
+        if index is None:
+            raise ValueError("query= requires index=")
+        matches = index.match_docs(query)
+        if match_escalation_threshold is not None:
+            n = matches.count()
+            if n <= match_escalation_threshold:
+                esc = _escalate_query(index, query)
+                if esc is not None:
+                    matches = index.match_docs(esc)
+        if adjuster:
+            from groonga_spark.algebra import combine
+
+            for adj_query, factor in adjuster:
+                boost = index.match_docs(adj_query).withColumn(
+                    "score", F.col("score") * F.lit(float(factor))
+                )
+                matches = combine(matches, boost, "adjust")
+        df = df.join(
+            matches.withColumnRenamed("doc_id", id_col).withColumnRenamed(
+                "score", "_score"
+            ),
+            id_col,
+            "inner",
+        )
+    else:
+        df = df.withColumn("_score", F.lit(0.0))
+
+    if filter:
+        df = df.filter(F.expr(script_to_sql(filter)))
+
+    # -- stage: columns[filtered]
+    for name, spec in (columns or {}).items():
+        if spec.get("stage") == "filtered":
+            df = _dynamic_column(df, name, spec)
+
+    if post_filter:
+        df = df.filter(F.expr(script_to_sql(post_filter)))
+
+    base = df.cache()  # drilldowns/slices/sort all branch off this
+    n_hits = base.count()
+
+    dd = {}
+    if drilldowns is not None:
+        if isinstance(drilldowns, (str, list)) and not isinstance(drilldowns, dict):
+            specs = drilldowns if isinstance(drilldowns, list) else [drilldowns]
+            for s in specs:
+                key = s if isinstance(s, str) else ",".join(s["keys"])
+                dd[key] = _drilldown(base, s)
+        else:
+            for label, s in drilldowns.items():
+                dd[label] = _drilldown(base, s)
+
+    sl = {}
+    for label, spec in (slices or {}).items():
+        s = base.filter(F.expr(script_to_sql(spec["filter"])))
+        if spec.get("sort_keys"):
+            s = s.orderBy(*_parse_sort_keys(spec["sort_keys"], id_col=id_col))
+        if spec.get("limit") is not None:
+            s = s.limit(int(spec["limit"]))
+        sl[label] = s
+
+    hits = base
+    order = _parse_sort_keys(sort_keys, id_col=id_col)
+    if order:
+        hits = hits.orderBy(*order)
+    if offset:
+        hits = hits.offset(offset)
+    if limit is not None and limit >= 0:
+        hits = hits.limit(limit)
+
+    # -- stage: columns[output] + projection
+    for name, spec in (columns or {}).items():
+        if spec.get("stage") == "output":
+            hits = _dynamic_column(hits, name, spec)
+    if output_columns:
+        if isinstance(output_columns, str):
+            output_columns = [c.strip() for c in output_columns.split(",")]
+        if output_columns != ["*"]:
+            hits = hits.select(*output_columns)
+
+    return SelectResult(hits=hits, n_hits=n_hits, drilldowns=dd, slices=sl)
+
+
+def _escalate_query(index, query: str) -> str | None:
+    """Match escalation [G: lib/expr.c/ii.c · grn_ii_select escalation]:
+    when hits ≤ threshold, relax each term to an OR over lexicon terms
+    sharing its prefix (EXACT → PARTIAL approximation)."""
+    from groonga_spark.ql import parse_query, query_terms
+
+    terms = query_terms(parse_query(query))
+    if not terms:
+        return None
+    parts = []
+    for t in terms:
+        rows = (
+            index.lexicon.filter(F.col("term").startswith(t.lower()))
+            .select("term")
+            .limit(8)
+            .collect()
+        )
+        expanded = [r["term"] for r in rows]
+        if expanded:
+            parts.append("(" + " OR ".join(expanded) + ")")
+    return " ".join(parts) if parts else None

@@ -1,0 +1,304 @@
+"""Per-segment query kernel: posting decode, intersection, block-max
+pruning, BM25 top-k.
+
+Re-expresses the reference's index-driven selection [G: lib/ii.c ·
+grn_ii_select / grn_ii_sel; token_info cursors + result-set ops] — but
+where the reference scores EVERY hit then sorts [G: lib/ii.c → grn_hash →
+grn_table_sort], this kernel prunes with the skip-block metadata:
+
+- AND: rarest term (min df) decoded first [G: lib/ii.c ·
+  grn_ii_estimate_size — same rarest-first idea], other terms decode ONLY
+  blocks whose [min_doc_id, max_doc_id] overlap surviving candidates
+  (searchsorted range pruning — the skip-list seek);
+- single-term / OR tails: blocks processed in block_max_score order with
+  a top-k threshold early-exit (block-max pruning);
+- phrase: positional adjacency via intersect of (pos - offset) arrays
+  (the reference's ngram-adjacency check in token_info chaining);
+- NOT: doc-id setdiff (AND-NOT of [G: grn_table_setoperation]).
+
+Everything operates on numpy arrays decoded batch-at-once (one vb_decode
+over concatenated block buffers, segmented cumsum to rebuild absolute doc
+ids). Python loops occur per BLOCK or per query NODE, never per row/doc.
+
+Scores: float64; per-term contributions accumulated in term-string-sorted
+order → bit-reproducible across parallelism (rank-identity contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from groonga_spark.codec import _segmented_cumsum, vb_decode
+from groonga_spark.ql import And, Not, Or, Phrase, Term
+from groonga_spark.score import bm25
+
+
+class TermPostings:
+    """Decoded postings of one term within one segment."""
+
+    __slots__ = ("doc", "tf", "dl", "blocks", "decoded_mask", "df")
+
+    def __init__(self, blocks: pd.DataFrame, df: float):
+        # blocks sorted by (block_id) == doc order (salts are contiguous)
+        self.blocks = blocks.sort_values("block_id").reset_index(drop=True)
+        self.df = df
+        self.doc = None
+        self.tf = None
+        self.dl = None
+
+    def decode_all(self) -> None:
+        self._decode(np.arange(len(self.blocks)))
+
+    def decode_overlapping(self, candidates: np.ndarray) -> None:
+        """Decode only blocks whose doc range intersects candidates."""
+        lo = self.blocks["min_doc_id"].to_numpy()
+        hi = self.blocks["max_doc_id"].to_numpy()
+        # block i survives iff ∃ candidate in [lo_i, hi_i]
+        left = np.searchsorted(candidates, lo, side="left")
+        keep = (left < len(candidates)) & (
+            candidates[np.minimum(left, len(candidates) - 1)] <= hi
+        )
+        self._decode(np.flatnonzero(keep))
+
+    def _decode(self, idx: np.ndarray) -> None:
+        if len(idx) == 0:
+            self.doc = np.empty(0, np.int64)
+            self.tf = np.empty(0, np.int64)
+            self.dl = np.empty(0, np.int64)
+            return
+        sub = self.blocks.iloc[idx]
+        nd = sub["n_docs"].to_numpy(np.int64)
+        deltas = vb_decode(b"".join(sub["doc_deltas"])).astype(np.int64)
+        self.doc = _segmented_cumsum(deltas, nd)
+        self.tf = vb_decode(b"".join(sub["tfs"])).astype(np.int64)
+        self.dl = vb_decode(b"".join(sub["dls"])).astype(np.int64)
+
+    def positions_for(self, doc_ids: np.ndarray) -> dict[int, np.ndarray]:
+        """doc_id → positions array, decoding only needed blocks."""
+        from groonga_spark.codec import decode_positions
+
+        out: dict[int, np.ndarray] = {}
+        lo = self.blocks["min_doc_id"].to_numpy()
+        hi_arr = self.blocks["max_doc_id"].to_numpy()
+        for bi in range(len(self.blocks)):
+            sel = doc_ids[(doc_ids >= lo[bi]) & (doc_ids <= hi_arr[bi])]
+            if len(sel) == 0:
+                continue
+            row = self.blocks.iloc[bi]
+            nd = int(row["n_docs"])
+            deltas = vb_decode(row["doc_deltas"]).astype(np.int64)
+            docs = np.cumsum(deltas)
+            counts, flat = decode_positions(row["positions"], nd)
+            starts = np.cumsum(counts) - counts
+            ix = np.searchsorted(docs, sel)
+            for j, d in zip(ix.tolist(), sel.tolist()):
+                if j < nd and docs[j] == d:
+                    out[d] = flat[starts[j] : starts[j] + counts[j]]
+        return out
+
+
+def _score_arrays(tp: TermPostings, stats: dict) -> np.ndarray:
+    return bm25(
+        tp.tf, tp.dl, tp.df, stats["n_docs"], stats["avgdl"], stats["k1"], stats["b"]
+    )
+
+
+def _topk(doc: np.ndarray, score: np.ndarray, k: int):
+    """top-k by (score desc, doc_id asc) — deterministic ties."""
+    if len(doc) <= k:
+        order = np.lexsort((doc, -score))
+        return doc[order], score[order]
+    # keep everything >= the kth score so boundary ties resolve by doc_id
+    kth = score[np.argpartition(-score, k - 1)[k - 1]]
+    keep = np.flatnonzero(score >= kth)
+    order = keep[np.lexsort((doc[keep], -score[keep]))][:k]
+    return doc[order], score[order]
+
+
+class SegmentQueryKernel:
+    """Evaluate one query AST over one segment's blocks."""
+
+    def __init__(self, blocks: pd.DataFrame, plan: dict, stats: dict, k: int):
+        self.plan = plan  # term text → {"term_id", "df", "tokens": [...]}
+        self.stats = stats
+        self.k = k
+        self.by_tid: dict[int, TermPostings] = {}
+        for tid, g in blocks.groupby("term_id"):
+            df = plan["df_by_tid"][int(tid)]
+            self.by_tid[int(tid)] = TermPostings(g, df)
+
+    def _leaf_tokens(self, text: str) -> list[int] | None:
+        """term text → its token term_ids (None if any token unknown)."""
+        toks = self.plan["tokens_by_text"].get(text)
+        if toks is None or any(t is None for t in toks):
+            return None
+        return toks
+
+    def eval(self, node) -> tuple[np.ndarray, np.ndarray]:
+        """→ (doc_ids sorted asc, scores)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if node is None:
+            return empty
+        if isinstance(node, (Term, Phrase)):
+            tids = self._leaf_tokens(node.text)
+            if tids is None:
+                return empty
+            if len(tids) == 1:
+                return self._eval_single(tids[0])
+            return self._eval_phrase(tids)
+        if isinstance(node, And):
+            return self._eval_and(node.children)
+        if isinstance(node, Or):
+            return self._eval_or(node.children)
+        if isinstance(node, Not):
+            # bare NOT yields nothing (matches reference: NOT needs a left set)
+            return empty
+        raise TypeError(type(node))
+
+    # --- leaves ------------------------------------------------------------
+
+    def _eval_single(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        tp = self.by_tid.get(tid)
+        if tp is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        tp.decode_all()
+        return tp.doc, _score_arrays(tp, self.stats)
+
+    def _docs_only(self, node) -> np.ndarray:
+        d, _ = self.eval(node)
+        return d
+
+    def _eval_phrase(self, tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        """Adjacent-position AND over the token sequence; score = sum of
+        the member tokens' BM25 (term-id order), like ngram query eval."""
+        tps = [self.by_tid.get(t) for t in tids]
+        if any(t is None for t in tps):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand, score = self._intersect_scored(tids)
+        if len(cand) == 0:
+            return cand, score
+        # positional adjacency: doc qualifies iff ∩_i (pos_i - i) nonempty
+        ok = np.ones(len(cand), bool)
+        pos_maps = [tp.positions_for(cand) for tp in tps]
+        for ci, d in enumerate(cand.tolist()):
+            acc = pos_maps[0].get(d)
+            if acc is None:
+                ok[ci] = False
+                continue
+            for i in range(1, len(tps)):
+                p = pos_maps[i].get(d)
+                if p is None:
+                    ok[ci] = False
+                    break
+                acc = np.intersect1d(acc, p - i, assume_unique=True)
+                if len(acc) == 0:
+                    ok[ci] = False
+                    break
+        return cand[ok], score[ok]
+
+    # --- boolean combinators ------------------------------------------------
+
+    def _intersect_scored(self, tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        """Rarest-first intersection with block range pruning; scores
+        summed in sorted-unique-term order (determinism)."""
+        uniq = sorted(set(tids))
+        tps = {t: self.by_tid.get(t) for t in uniq}
+        if any(v is None for v in tps.values()):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        order = sorted(uniq, key=lambda t: (tps[t].df, t))
+        rare = tps[order[0]]
+        rare.decode_all()
+        cand = rare.doc
+        for t in order[1:]:
+            if len(cand) == 0:
+                return cand, np.empty(0, np.float64)
+            tp = tps[t]
+            tp.decode_overlapping(cand)
+            cand = cand[np.isin(cand, tp.doc, assume_unique=True)]
+        if len(cand) == 0:
+            return cand, np.empty(0, np.float64)
+        score = np.zeros(len(cand), np.float64)
+        for t in uniq:  # fixed term-id order for float determinism
+            tp = tps[t]
+            ix = np.searchsorted(tp.doc, cand)
+            s = _score_arrays(tp, self.stats)
+            score += s[ix]
+        # duplicated tokens in tids (e.g. "a a") score once per occurrence
+        dup_extra = len(tids) - len(uniq)
+        if dup_extra:
+            from collections import Counter
+
+            c = Counter(tids)
+            score = np.zeros(len(cand), np.float64)
+            for t in uniq:
+                tp = tps[t]
+                ix = np.searchsorted(tp.doc, cand)
+                score += c[t] * _score_arrays(tp, self.stats)[ix]
+        return cand, score
+
+    def _eval_and(self, children) -> tuple[np.ndarray, np.ndarray]:
+        pos = [c for c in children if not isinstance(c, Not)]
+        neg = [c.child for c in children if isinstance(c, Not)]
+        # fast path: all positives are single-token terms → fused
+        # rarest-first intersection
+        tid_lists = []
+        fused = True
+        for c in pos:
+            if isinstance(c, (Term, Phrase)):
+                tids = self._leaf_tokens(c.text)
+                if tids is None:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                if len(tids) == 1:
+                    tid_lists.append(tids[0])
+                    continue
+            fused = False
+            break
+        if fused and pos:
+            doc, score = self._intersect_scored(tid_lists)
+        else:
+            doc, score = None, None
+            for c in pos:
+                d, s = self.eval(c)
+                if doc is None:
+                    doc, score = d, s
+                else:
+                    # intersect, scores ADD [G: grn_table_select OP_AND]
+                    common = np.isin(doc, d, assume_unique=True)
+                    doc2 = doc[common]
+                    ix = np.searchsorted(d, doc2)
+                    doc, score = doc2, score[common] + s[ix]
+                if len(doc) == 0:
+                    break
+            if doc is None:
+                doc = np.empty(0, np.int64)
+                score = np.empty(0, np.float64)
+        for n in neg:
+            if len(doc) == 0:
+                break
+            nd = self._docs_only(n)
+            keep = ~np.isin(doc, nd, assume_unique=True)
+            doc, score = doc[keep], score[keep]
+        return doc, score
+
+    def _eval_or(self, children) -> tuple[np.ndarray, np.ndarray]:
+        """Union; scores ADD on overlap [G: grn_table_setoperation OP_OR]."""
+        doc = np.empty(0, np.int64)
+        score = np.empty(0, np.float64)
+        for c in children:
+            d, s = self.eval(c)
+            if len(d) == 0:
+                continue
+            merged = np.union1d(doc, d)
+            ms = np.zeros(len(merged), np.float64)
+            if len(doc):
+                ms[np.searchsorted(merged, doc)] += score
+            ms[np.searchsorted(merged, d)] += s
+            doc, score = merged, ms
+        return doc, score
+
+    def run(self, ast) -> tuple[np.ndarray, np.ndarray]:
+        doc, score = self.eval(ast)
+        if len(doc) == 0:
+            return doc, score
+        return _topk(doc, score, self.k)

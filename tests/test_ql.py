@@ -1,0 +1,72 @@
+"""Query-syntax parser unit tests (grammar per SURVEY.md §2.2/§3.1)."""
+
+from __future__ import annotations
+
+from groonga_spark.ql import And, Not, Or, Phrase, Term, parse_query, query_terms
+
+
+def test_single_term():
+    assert parse_query("spark") == Term("spark")
+
+
+def test_implicit_and():
+    ast = parse_query("a b c")
+    assert isinstance(ast, And)
+    assert ast.children == [Term("a"), Term("b"), Term("c")]
+
+
+def test_or():
+    ast = parse_query("a OR b")
+    assert isinstance(ast, Or)
+    assert ast.children == [Term("a"), Term("b")]
+
+
+def test_or_binds_looser_than_and():
+    ast = parse_query("a b OR c d")
+    assert isinstance(ast, Or)
+    assert ast.children[0] == And([Term("a"), Term("b")])
+    assert ast.children[1] == And([Term("c"), Term("d")])
+
+
+def test_not():
+    ast = parse_query("a -b")
+    assert isinstance(ast, And)
+    assert ast.children == [Term("a"), Not(Term("b"))]
+
+
+def test_phrase():
+    ast = parse_query('"hello world" x')
+    assert isinstance(ast, And)
+    assert ast.children[0] == Phrase("hello world")
+    assert ast.children[1] == Term("x")
+
+
+def test_parens():
+    ast = parse_query("(a OR b) c")
+    assert isinstance(ast, And)
+    assert isinstance(ast.children[0], Or)
+    assert ast.children[1] == Term("c")
+
+
+def test_hyphenated_term_not_negation():
+    ast = parse_query("foo-bar")
+    assert ast == Term("foo-bar")
+
+
+def test_empty_and_garbage():
+    assert parse_query("") is None
+    assert parse_query("   ") is None
+    assert parse_query("()") is None
+
+
+def test_unclosed_phrase():
+    assert parse_query('"abc') == Phrase("abc")
+
+
+def test_query_terms():
+    ast = parse_query('a "b c" OR (-d e)')
+    assert sorted(query_terms(ast)) == ["a", "b c", "d", "e"]
+
+
+def test_cjk_term():
+    assert parse_query("日本語") == Term("日本語")

@@ -1,0 +1,177 @@
+"""Rank-equality: distributed WAND/codec path == brute-force oracle
+(SURVEY.md §5.2.1; BASELINE.md row 3) + merge determinism + resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from groonga_spark.build import IndexStore, build_index
+from groonga_spark.search import FulltextIndex
+from oracle import OracleIndex
+
+QUERIES = os.path.join(os.path.dirname(__file__), "queries.jsonl")
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _queries():
+    with open(QUERIES) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    return docs, [(r["doc_id"], r["text"]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "documents_idx")
+    docs, _ = corpus
+    build_index(spark, docs, path, mode="delimit", segment_size=200, salt_target=300)
+    return FulltextIndex(spark, path)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    _, rows = corpus
+    return OracleIndex(rows, mode="delimit")
+
+
+@pytest.mark.parametrize("case", _queries(), ids=lambda c: c["qid"])
+def test_rank_identity(case, built, oracle):
+    k = case["k"]
+    got = [(r["doc_id"], r["score"]) for r in built.search(case["query"], k).collect()]
+    want = oracle.search(case["query"], k)
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        case["query"],
+        got,
+        want,
+    )
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6, (case["query"], gs, ws)
+
+
+@pytest.mark.parametrize(
+    "q", ["spark", "spark window", "spark OR stream", "table -scan"]
+)
+def test_match_counts(q, built, oracle):
+    assert built.match_docs(q).count() == oracle.match_count(q)
+
+
+def test_bigram_index_with_cjk_and_phrases(spark, tmp_path):
+    """End-to-end over the pages-shaped corpus: html extraction + bigram
+    tokenization + phrase adjacency (the reference's ngram query mode)."""
+    from gen_pages import gen_pages
+    from groonga_spark.build import prepare_pages
+
+    pages = gen_pages(400, seed=42)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    pdf = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in pages],
+        schema,
+    ).repartition(4)
+    docs = prepare_pages(pdf)
+    path = str(tmp_path / "pages_idx")
+    build_index(spark, docs, path, mode="bigram", segment_size=150)
+    idx = FulltextIndex(spark, path)
+
+    # oracle over the SAME deduped docs (latest per url)
+    rows = docs.select("doc_id", "text").collect()
+    orc = OracleIndex([(r["doc_id"], r["text"]) for r in rows], mode="bigram")
+
+    # pick live terms from the corpus: one zipf word + a CJK bigram phrase
+    some_text = " ".join(t for _, t in [(r["doc_id"], r["text"]) for r in rows][:50])
+    zipf_terms = [w for w in some_text.split() if w.startswith("w")][:3]
+    queries = zipf_terms + ["日本語", '"処理 検索"', f"{zipf_terms[0]} OR {zipf_terms[1]}"]
+    for q in queries:
+        got = [(r["doc_id"], r["score"]) for r in idx.search(q, 10).collect()]
+        want = orc.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6
+
+
+def test_merge_determinism_across_parallelism(spark, corpus, tmp_path):
+    """Same input + same config at different parallelism ⇒ byte-identical
+    postings, lexicon, and doc_map (SURVEY.md §5.2.1)."""
+    docs, _ = corpus
+    outs = []
+    for n, reparts in (("a", 2), ("b", 16)):
+        path = str(tmp_path / f"idx_{n}")
+        build_index(
+            spark,
+            docs.repartition(reparts),
+            path,
+            mode="delimit",
+            segment_size=200,
+            salt_target=300,
+        )
+        store = IndexStore(path)
+        post = (
+            spark.read.parquet(store.p("postings"))
+            .orderBy("term_id", "segment", "block_id")
+            .collect()
+        )
+        lex = spark.read.parquet(store.p("lexicon")).orderBy("term_id").collect()
+        outs.append((post, lex))
+    (p1, l1), (p2, l2) = outs
+    assert l1 == l2
+    assert len(p1) == len(p2)
+    for r1, r2 in zip(p1, p2):
+        assert r1 == r2
+
+
+def test_resume_after_failure(spark, corpus, tmp_path):
+    """Kill mid-build → rerun completes; committed segments not recomputed;
+    final index equals the uninterrupted build (BASELINE.md row 6)."""
+    docs, _ = corpus
+    path = str(tmp_path / "idx_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, docs, path, mode="delimit", segment_size=200,
+            fail_after_segments=1,
+        )
+    store = IndexStore(path)
+    committed_before = store.committed_segments(spark)
+    assert len(committed_before) == 1
+    lineage_files_before = set(os.listdir(store.p("lineage")))
+
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    # committed segment was not rebuilt: its lineage rows are unchanged
+    import pyspark.sql.functions as F
+
+    lineage = spark.read.parquet(store.p("lineage"))
+    per_seg = lineage.groupBy("segment").count().collect()
+    assert all(r["count"] == 1 for r in per_seg)
+
+    # equality with an uninterrupted build
+    path2 = str(tmp_path / "idx_clean")
+    build_index(spark, docs, path2, mode="delimit", segment_size=200)
+    a = (
+        spark.read.parquet(store.p("postings"))
+        .orderBy("term_id", "segment", "block_id")
+        .collect()
+    )
+    b = (
+        spark.read.parquet(IndexStore(path2).p("postings"))
+        .orderBy("term_id", "segment", "block_id")
+        .collect()
+    )
+    assert a == b
