@@ -1,38 +1,744 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over sf0.001
+documents, run a 2-term BM25 top-10 (block-max WAND path), return hits.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data pipeline ops (dedup, similarity,
+text analysis, multimodal plumbing). Every computed column is aliased
+identically on both sides; doubles are rounded to 4 decimals at the
+output edge; counts/sizes are cast to long to match DuckDB BIGINT.
+
+Determinism notes: every hash is md5-of-explicit-string (portable across
+Spark and DuckDB); every top-k has a total-order tie-break; money sums
+use round-to-integer-then-cast so double summation order can't flip a
+compared digit.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the delimit-mode fulltext index
+    over `documents` and return a FulltextIndex handle."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.session import _ship_package
+
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    _ship_package(spark)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gs_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        docs = _t(spark, sf_dir, "documents")
+        build_index(spark, docs, path, mode="delimit")
+    idx = FulltextIndex(spark, path)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _probe_embedding(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Index sf0.001 documents end-to-end, BM25 top-10 for 'spark merge',
+    hits joined back to the corpus for display columns."""
+    idx = _index(spark, DEFAULT_SF)
+    docs = _t(spark, DEFAULT_SF, "documents")
+    hits = idx.search("spark merge", k=10)
+    return (
+        hits.join(docs, "doc_id")
+        .select("doc_id", F.round("score", 4).alias("score"), "lang", "n_chars")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_term_df(spark, sf):
+    idx = _index(spark, sf)
+    return idx.lexicon.select("term", "df", "cf")
+
+
+def q_ft_match_single(spark, sf):
+    return _index(spark, sf).match_docs("spark").select("doc_id")
+
+
+def q_ft_match_and(spark, sf):
+    return _index(spark, sf).match_docs("spark fast").select("doc_id")
+
+
+def q_ft_match_or_not(spark, sf):
+    return _index(spark, sf).match_docs("(table OR merge) -slow").select("doc_id")
+
+
+def q_ft_phrase(spark, sf):
+    return _index(spark, sf).match_docs('"spark fast"').select("doc_id")
+
+
+def q_ft_topk_bm25(spark, sf):
+    hits = _index(spark, sf).search("spark merge", k=10)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_select_filter(spark, sf):
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        filter='lang == "en" && n_chars > 300',
+        sort_keys="doc_id",
+        limit=-1,
+        output_columns=["doc_id", "lang", "n_chars"],
+    )
+    return res.hits
+
+
+def q_drilldown_lang(spark, sf):
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(docs, limit=0, drilldowns="lang")
+    return res.drilldowns["lang"].select("_key", F.col("_nsubrecs").cast("long"))
+
+
+def q_drilldown_calc(spark, sf):
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        limit=0,
+        drilldowns={
+            "by_source": {
+                "keys": "source",
+                "calc_types": ["COUNT", "SUM", "MAX", "MIN", "AVG"],
+                "calc_target": "n_chars",
+            }
+        },
+    )
+    d = res.drilldowns["by_source"]
+    return d.select(
+        "_key",
+        F.col("_nsubrecs").cast("long"),
+        F.col("_sum").cast("long"),
+        F.col("_max").cast("long"),
+        F.col("_min").cast("long"),
+        F.round("_avg", 4).alias("_avg"),
+    )
+
+
+def q_drilldown_multi(spark, sf):
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(docs, limit=0, drilldowns=[{"keys": ["lang", "source"]}])
+    d = res.drilldowns["lang,source"]
+    return d.select("_key_lang", "_key_source", F.col("_nsubrecs").cast("long"))
+
+
+def q_window_rank(spark, sf):
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        limit=-1,
+        columns={
+            "rnk": {
+                "stage": "initial",
+                "value": "window_rank()",
+                "window": {"group_keys": ["lang"], "sort_keys": ["-n_chars", "doc_id"]},
+            }
+        },
+        output_columns=["doc_id", "lang", "rnk"],
+    )
+    return res.hits.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def q_sort_topk(spark, sf):
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        sort_keys="-n_chars,doc_id",
+        limit=10,
+        output_columns=["doc_id", "n_chars"],
+    )
+    return res.hits
+
+
+def q_ref_traversal(spark, sf):
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).cast("long").alias("total_price"),
+        )
+    )
+
+
+def q_sub_filter(spark, sf):
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey")
+    )
+
+
+def q_anti_join(spark, sf):
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        ).select("c_custkey")
+    )
+
+
+def q_time_classify_day(spark, sf):
+    from groonga_spark.functions import time_classify
+
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy(time_classify("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_window_latest_event(spark, sf):
+    from pyspark.sql import Window as W
+
+    events = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def q_between_in(spark, sf):
+    from groonga_spark.functions import between, in_values
+
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            between(F.col("l_quantity"), 10, "include", 20, "exclude")
+            & in_values(F.col("l_returnflag"), "A", "R")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_agg_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 0).cast("long").alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+def q_scalar_string(spark, sf):
+    from groonga_spark.functions import string_length, string_slice
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        string_length(F.col("text")).cast("long").alias("len"),
+        string_slice(F.col("text"), 0, 10).alias("head"),
+    )
+
+
+def q_scalar_time(spark, sf):
+    from groonga_spark.functions import time_classify, time_format
+
+    events = _t(spark, sf, "events")
+    return events.select(
+        "event_id",
+        time_classify("hour", F.col("ts")).alias("h"),
+        time_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+    )
+
+
+def q_vector_funcs(spark, sf):
+    from groonga_spark.functions import vector_size
+
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        vector_size(F.col("embedding")).cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+    )
+
+
+def q_json_props(spark, sf):
+    events = _t(spark, sf, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    )
+
+
+# -- training-data pipeline ops --------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from groonga_spark.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf, "documents")).select(
+        "content_hash", F.col("n_docs").cast("long"), "keep_id"
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    from groonga_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf):
+    from groonga_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), num_hashes=16, bands=4)
+
+
+def q_simhash(spark, sf):
+    from groonga_spark.dedup import simhash
+
+    return simhash(_t(spark, sf, "documents"))
+
+
+def q_token_stats(spark, sf):
+    from groonga_spark.textstats import token_stats
+
+    ts = token_stats(_t(spark, sf, "documents"))
+    return ts.select(
+        "doc_id",
+        F.col("n_tokens").cast("long"),
+        F.col("n_bpe_tokens").cast("long"),
+        "stop_ratio",
+        "avg_word_len",
+        "quality",
+        "pred_lang",
+        "fingerprint",
+    )
+
+
+def q_embedding_topk(spark, sf):
+    from groonga_spark.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    probe = _probe_embedding(spark, sf)
+    return cosine_topk(emb, probe, k=10, exclude_id=0)
+
+
+def q_embedding_dups(spark, sf):
+    from groonga_spark.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
+def q_multimodal_meta(spark, sf):
+    from groonga_spark.multimodal import documents_as_media, media_fingerprint
+
+    media = documents_as_media(_t(spark, sf, "documents"))
+    return media_fingerprint(media).select(
+        "media_id", F.col("n_bytes").cast("long"), "payload_md5"
+    )
+
+
+def q_multimodal_frames(spark, sf):
+    from groonga_spark.multimodal import documents_as_media, frame_sample_offsets
+
+    media = documents_as_media(_t(spark, sf, "documents"))
+    return frame_sample_offsets(media, every_n_bytes=64, max_frames=16).select(
+        "media_id",
+        F.col("frame_no").cast("long"),
+        F.col("byte_offset").cast("long"),
+    )
+
+
+# -- rows-only checks (non-SQL-expressible: WAND internals, LSH-ANN, lineage)
+
+def q_ann_lsh(spark, sf):
+    from groonga_spark.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf, "embeddings")
+    probe = _probe_embedding(spark, sf)
+    return lsh_bucketed_topk(emb, probe, k=10, n_planes=8, hamming_radius=1,
+                             exclude_id=0)
+
+
+def q_index_lineage(spark, sf):
+    idx = _index(spark, sf)
+    return (
+        spark.read.parquet(idx.store.p("lineage"))
+        .filter(F.col("status") == "committed")
+        .select("segment", "docs_tokenized", "postings_emitted")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    from groonga_spark.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_t(spark, sf, "documents"))
+    return extract_features(media, dim=8).select(
+        "media_id", "n_bytes", "byte_mean", "byte_std"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # fulltext core (SURVEY.md §2.9)
+        "term_df": q_term_df,
+        "ft_match_single": q_ft_match_single,
+        "ft_match_and": q_ft_match_and,
+        "ft_match_or_not": q_ft_match_or_not,
+        "ft_phrase": q_ft_phrase,
+        "ft_topk_bm25": q_ft_topk_bm25,
+        # select pipeline (§2.2–2.7, §3.1)
+        "select_filter": q_select_filter,
+        "drilldown_lang": q_drilldown_lang,
+        "drilldown_calc": q_drilldown_calc,
+        "drilldown_multi": q_drilldown_multi,
+        "window_rank": q_window_rank,
+        "sort_topk": q_sort_topk,
+        "ref_traversal": q_ref_traversal,
+        "sub_filter": q_sub_filter,
+        "anti_join": q_anti_join,
+        "time_classify_day": q_time_classify_day,
+        "window_latest_event": q_window_latest_event,
+        "between_in": q_between_in,
+        "agg_pricing": q_agg_pricing,
+        # scalar functions (§2.8)
+        "scalar_string": q_scalar_string,
+        "scalar_time": q_scalar_time,
+        "vector_funcs": q_vector_funcs,
+        "json_props": q_json_props,
+        # training-data pipeline ops
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "embedding_topk": q_embedding_topk,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        # rows-only (no oracle entry)
+        "ann_lsh": q_ann_lsh,
+        "index_lineage": q_index_lineage,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+    " AS term FROM documents"
+)
+
+_SHINGLES = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(len(w) - 2),
+                  i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+"""
+
+_STOP_EN = "['the','a','of','and','to','in','is','it']"
+_LANGS = {
+    "de": "['und','der','die','das','ein','ist']",
+    "en": _STOP_EN,
+    "es": "['el','la','los','de','que','es']",
+    "fr": "['le','la','les','des','est','une']",
+}
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') w
+           FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM d),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS term FROM d)
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sco
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats s),
+agg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nt FROM sc GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM agg
+WHERE nt = {len(terms)}
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _simhash_sql() -> str:
+    from groonga_spark.dedup import simhash_bit_exprs
+
+    exprs = simhash_bit_exprs(shift_fmt=lambda e, s: f"(({e}) >> {s})")
+    sums = ",\n ".join(f"sum({e}) AS s{i}" for i, e in enumerate(exprs))
+    bits = ", ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(term) AS h FROM ({_TOKS})),
+v AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
+SELECT doc_id, concat({bits}) AS simhash FROM v
+"""
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(16)
+    )
+    bands = "\n UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', h{4*b}, h{4*b+1},"
+        f" h{4*b+2}, h{4*b+3})) AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _token_stats_sql() -> str:
+    lang_counts = ",\n  ".join(
+        f"len(list_filter(w, x -> list_contains({arr}, x))) AS c_{lang}"
+        for lang, arr in _LANGS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, list_filter(string_split(text,' '), x -> x <> '') AS w
+  FROM documents),
+feat AS (
+  SELECT doc_id, text, len(w) AS n,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nb,
+  len(list_filter(w, x -> list_contains({_STOP_EN}, x))) / len(w) AS stop,
+  length(replace(text, ' ', '')) / len(w) AS awl,
+  {lang_counts}
+  FROM base)
+SELECT doc_id,
+  n::BIGINT AS n_tokens,
+  nb::BIGINT AS n_bpe_tokens,
+  floor(stop * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+  floor(awl * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+  floor((0.4 * least(n / 100.0, 1.0) + 0.3 * (1.0 - stop)
+        + 0.3 * least(awl / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality,
+  CASE WHEN greatest(c_de, c_en, c_es, c_fr) <= 0 THEN 'und'
+       WHEN c_de >= greatest(c_en, c_es, c_fr) THEN 'de'
+       WHEN c_en >= greatest(c_es, c_fr) THEN 'en'
+       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+  substring(md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16)
+    AS fingerprint
+FROM feat
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos = ("list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a})"
+           " * list_dot_product({b}, {b}))")
+    return {
+        "term_df": f"""
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS cf
+            FROM ({_TOKS}) GROUP BY term""",
+        "ft_match_single": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'spark')""",
+        "ft_match_and": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'spark')
+              AND list_contains(string_split(text, ' '), 'fast')""",
+        "ft_match_or_not": """
+            SELECT doc_id FROM documents
+            WHERE (list_contains(string_split(text, ' '), 'table')
+                   OR list_contains(string_split(text, ' '), 'merge'))
+              AND NOT list_contains(string_split(text, ' '), 'slow')""",
+        "ft_phrase": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% spark fast %'""",
+        "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
+        "select_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 300""",
+        "drilldown_lang": """
+            SELECT lang AS _key, count(*)::BIGINT AS _nsubrecs
+            FROM documents GROUP BY lang""",
+        "drilldown_calc": """
+            SELECT source AS _key, count(*)::BIGINT AS _nsubrecs,
+                   sum(n_chars)::BIGINT AS _sum, max(n_chars) AS _max,
+                   min(n_chars) AS _min, round(avg(n_chars), 4) AS _avg
+            FROM documents GROUP BY source""",
+        "drilldown_multi": """
+            SELECT lang AS _key_lang, source AS _key_source,
+                   count(*)::BIGINT AS _nsubrecs
+            FROM documents GROUP BY lang, source""",
+        "window_rank": """
+            SELECT doc_id, lang,
+                   rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
+            FROM documents""",
+        "sort_topk": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "ref_traversal": """
+            SELECT n_name, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 0)::BIGINT AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "sub_filter": """
+            SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)""",
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)""",
+        "time_classify_day": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1""",
+        "window_latest_event": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id) AS rn
+              FROM events) WHERE rn = 1""",
+        "between_in": """
+            SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem
+            WHERE l_quantity >= 10 AND l_quantity < 20
+              AND l_returnflag IN ('A', 'R')
+            GROUP BY l_returnflag""",
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+                   round(sum(l_quantity), 0)::BIGINT AS sum_qty,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "scalar_string": """
+            SELECT doc_id, length(text)::BIGINT AS len,
+                   substring(text, 1, 10) AS head
+            FROM documents""",
+        "scalar_time": """
+            SELECT event_id, date_trunc('hour', ts) AS h,
+                   strftime(ts, '%Y-%m-%d') AS d
+            FROM events""",
+        "vector_funcs": """
+            SELECT vec_id, len(embedding)::BIGINT AS dim,
+                   round(embedding[1]::DOUBLE, 4) AS e0
+            FROM embeddings""",
+        "json_props": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k
+            FROM events""",
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)""",
+        "ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT d1, d2, round(i / (x.n + y.n - i), 4) AS jaccard
+            FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+            WHERE i / (x.n + y.n - i) >= 0.5""",
+        "minhash_lsh": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "token_stats": _token_stats_sql(),
+        "embedding_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            probe AS (SELECT v AS p FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+                   round({cos.format(a='e.v', b='probe.p')}, 4) AS sim
+            FROM e, probe WHERE vec_id <> 0
+            ORDER BY {cos.format(a='e.v', b='probe.p')} DESC, vec_id
+            LIMIT 10""",
+        "embedding_dups": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   round({cos.format(a='a.v', b='b.v')}, 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {cos.format(a='a.v', b='b.v')} >= 0.45""",
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, octet_length(text::BLOB)::BIGINT
+                   AS n_bytes, md5(text) AS payload_md5
+            FROM documents""",
+        "multimodal_frames": """
+            WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS n
+                       FROM documents)
+            SELECT doc_id AS media_id,
+                   unnest(range(least((n - 1) // 64 + 1, 16)))::BIGINT
+                     AS frame_no,
+                   unnest(range(least((n - 1) // 64 + 1, 16)))::BIGINT * 64
+                     AS byte_offset
+            FROM m WHERE n > 0""",
+    }

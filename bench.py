@@ -1,0 +1,135 @@
+"""Benchmark harness — the driver's per-round performance probe.
+
+Builds the fulltext index end-to-end over ``$SPARK_GRAFT_SF_DIR``'s
+documents (fresh every run — build throughput is metric #1), then times
+the reference query set against the warm index (metric #2), plus the
+headline training-data ops. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "build_docs_per_sec": ...,
+     "query_p50_s": ..., "query_p95_s": ..., ...}
+
+Scaling protocol (BASELINE.md row 5): run this twice on the same input —
+``SPARK_GRAFT_CPUS=8`` then ``SPARK_GRAFT_CPUS=32`` — and compare
+``build_docs_per_sec``; efficiency = thr32 / (4 × thr8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+# reference query set: head terms, tail terms, conjunctions, phrase,
+# boolean algebra — the shapes [G: lib/ii.c · grn_ii_select] serves.
+QUERY_SET = [
+    ("q_head_term", "table"),
+    ("q_tail_term", "vector"),
+    ("q_and2", "spark merge"),
+    ("q_and3", "table row fast"),
+    ("q_or", "spark OR stream"),
+    ("q_not", "(table OR merge) -slow"),
+    ("q_phrase", '"spark fast"'),
+    ("q_rare_pair", "vector window"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.session import get_spark
+
+    spark = get_spark(
+        "groonga_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    t_start = time.time()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    idx_path = tempfile.mkdtemp(prefix="gs_bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        # ---- metric 1: end-to-end index build ----
+        t0 = time.time()
+        meta = build_index(spark, docs, idx_path, mode="delimit",
+                           resume=False)
+        build_s = time.time() - t0
+        timings["index_build"] = round(build_s, 3)
+
+        # ---- metric 2: BM25 top-10 latency, warm index ----
+        idx = FulltextIndex(spark, idx_path)
+        idx.search("table", k=10).collect()  # warm-up (plans, JIT, cache)
+        q_times = []
+        for name, q in QUERY_SET:
+            t0 = time.time()
+            idx.search(q, k=10).collect()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            q_times.append(dt)
+
+        # ---- headline training-data ops ----
+        from groonga_spark.dedup import minhash_lsh_pairs, simhash
+        from groonga_spark.textstats import token_stats
+
+        t0 = time.time()
+        token_stats(docs).count()
+        timings["token_stats"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        minhash_lsh_pairs(docs).count()
+        timings["minhash_lsh"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        simhash(docs).count()
+        timings["simhash"] = round(time.time() - t0, 3)
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            from groonga_spark.similarity import cosine_topk
+
+            emb = spark.read.parquet(emb_path)
+            probe = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+                     .select("embedding").collect()[0][0]]
+            t0 = time.time()
+            cosine_topk(emb, probe, k=10, exclude_id=0).collect()
+            timings["embedding_topk"] = round(time.time() - t0, 3)
+
+        total = time.time() - t_start
+        out = {
+            "metric": "index_build+bm25_topk+pipeline_ops",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_docs": n_docs,
+            "n_terms": meta["n_terms"],
+            "postings_total": meta["postings_total"],
+            "bytes_compressed": meta["bytes_compressed"],
+            "build_s": round(build_s, 3),
+            "build_docs_per_sec": round(n_docs / build_s, 1),
+            "query_p50_s": round(statistics.median(q_times), 4),
+            "query_p95_s": round(sorted(q_times)[
+                max(0, int(len(q_times) * 0.95) - 1)], 4),
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

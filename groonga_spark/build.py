@@ -1,4 +1,4 @@
-"""Index build pipeline: segments → blocks → merge → queryable index.
+"""Index build pipeline: segments → shards → blocks → merge → index.
 
 Re-expresses the reference's offline index construction [G: lib/ii.c ·
 grn_ii_buffer_open/append/commit] and its buffer→chunk compaction
@@ -6,28 +6,38 @@ grn_ii_buffer_open/append/commit] and its buffer→chunk compaction
 Spark pipeline (SURVEY.md §2.9d):
 
 Stage 1 (per segment, checkpointed — the resume unit):
-  docs slice → tokenize (mapInPandas, numpy kernels) → head-term salting
-  → repartition(term, salt) + sortWithinPartitions → encode_partition
-  (postings.py) → ``segments/<k>/`` block parquet + ``doc_map/<k>/`` +
-  a committed ``lineage/`` row with metrics. Resume = skip segments that
-  already have a committed lineage row.
+  the segment's doc-id range is cut into fixed-width SHARDS
+  (``shard = (doc_id - lo) // shard_size``; width recorded in meta —
+  NOT a function of cluster size, so output is bit-identical at any
+  parallelism). One ``groupBy(shard).applyInPandas`` does
+  normalize → tokenize → sort → delta+varbyte encode → block rows
+  (postings.py) entirely inside one Python pass per shard: the token
+  stream NEVER crosses the JVM↔Python boundary as rows, and the only
+  shuffle moves raw docs to their shard. Per-shard doc statistics ride
+  along as marker rows (term = "") in the same output, so no separate
+  doc-length pass exists. Result: ``segments/<k>/`` + a committed
+  ``lineage/`` row with metrics. Resume = skip committed segments.
 
 Stage 2 (finalize — the multi-way segment merge):
   all block partials → lexicon (term → deterministic dense term_id) →
   attach term_id + df + exact block_max_score → final ``postings/``
-  sorted by term_id (parquet row-group pruning ≈ the PAT-trie seek).
-  Segments own disjoint doc-id ranges, so merging a term's blocks is
-  ordered concatenation — no posting re-encode.
+  range-partitioned and sorted by (term_id, block_id) (parquet
+  row-group pruning ≈ the PAT-trie seek); ``doc_map/`` decoded from the
+  marker rows. Shards are doc-contiguous and disjoint, so a term's
+  blocks across shards/segments merge by ordered concatenation — no
+  posting re-encode, no term-keyed shuffle of postings.
 
-Skew: head terms are salted into doc-contiguous sub-ranges
-(``salt = (doc_id - lo) * S // seg_len``), so one giant term's postings
-spread over ≤ MAX_SALTS shuffle groups while blocks stay disjoint and
-ordered — the explicit skew handling the north rule requires.
+Skew: stage 1 shuffles on ``shard`` — uniform doc-count ranges, so a
+head term's postings are split across ALL shards it occurs in (the
+salting the north rule requires, made deterministic); no term-frequency
+measurement pass is needed. Stage 2's only wide op keys by
+(term_id, block_id) range, which splits a giant term's blocks across
+partitions while preserving global order.
 
 On-disk layout under an index root (local parquet; Iceberg tables in
 prod — same schemas, see SURVEY.md §1.3):
-  segments/<k>/   block partials keyed by term string
-  doc_map/<k>/    (doc_id, url?, dl, segment)
+  segments/<k>/   block partials keyed by term string (+ "" markers)
+  doc_map/        (doc_id, dl, segment, shard) — decoded from markers
   lineage/        (segment, status, docs_tokenized, postings_emitted,
                    bytes_compressed, started_at, finished_at)
   lexicon/        (term, term_id, df, cf)
@@ -55,8 +65,8 @@ from groonga_spark.postings import BLOCK_SCHEMA, encode_partition
 from groonga_spark.tokenize import tokenize_batch
 
 DEFAULT_SEGMENT_SIZE = 1 << 20          # docs per segment
-SALT_TARGET = 50_000                    # postings per shuffle group
-MAX_SALTS = 200
+DEFAULT_SHARD_SIZE = 2048               # docs per shard (fixed per index)
+SALT_TARGET = 50_000                    # retained for API compat (unused)
 
 
 # --------------------------------------------------------------------------
@@ -99,8 +109,9 @@ def tokens_df(docs: DataFrame, mode: str, id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def assign_dense_ids(
-    df: DataFrame, key: str, out_col: str, start: int = 0
-) -> DataFrame:
+    df: DataFrame, key: str, out_col: str, start: int = 0,
+    with_count: bool = False,
+):
     """key-sorted dense ids WITHOUT a single-partition window.
 
     ``row_number() over (order by key)`` collapses to one partition — dead
@@ -144,6 +155,8 @@ def assign_dense_ids(
             yield pdf
 
     out = d.mapInPandas(_attach, schema=out_schema)
+    if with_count:
+        return out, acc - start
     return out
 
 
@@ -216,22 +229,89 @@ class IndexStore:
             json.dump(meta, f, indent=1, sort_keys=True)
         os.replace(tmp, self.meta_path)
 
-    def committed_segments(self, spark: SparkSession) -> set[int]:
+    def committed_segments(self, spark: SparkSession | None = None) -> set[int]:
+        """Driver-side lineage scan (tiny metadata parquet — no Spark job)."""
         if not os.path.isdir(self.p("lineage")):
             return set()
-        rows = (
-            spark.read.parquet(self.p("lineage"))
-            .filter(F.col("status") == "committed")
-            .select("segment")
-            .distinct()
-            .collect()
-        )
-        return {r["segment"] for r in rows}
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(self.p("lineage"), format="parquet")
+        tbl = dset.to_table(columns=["segment", "status"])
+        return {
+            int(seg)
+            for seg, status in zip(
+                tbl.column("segment").to_pylist(), tbl.column("status").to_pylist()
+            )
+            if status == "committed"
+        }
 
 
 # --------------------------------------------------------------------------
 # stage 1: per-segment build (the checkpoint / resume unit)
 # --------------------------------------------------------------------------
+
+def encode_shard(
+    pdf: pd.DataFrame, shard: int, segment: int, mode: str
+) -> pd.DataFrame:
+    """normalize → tokenize → sort → encode ONE shard's docs, in one pass.
+
+    Emits posting-block rows (postings.encode_partition) plus one marker
+    row (term = "") carrying the shard's doc statistics: doc ids
+    (delta+varbyte in doc_deltas), per-doc token counts (varbyte in dls),
+    Σdl in sum_tf — so doc_map/avgdl/N need no second tokenize pass.
+    """
+    from groonga_spark.codec import vb_encode
+
+    pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    texts = normalize_series(pdf["text"])
+    rows, terms, pos = tokenize_batch(texts, mode)
+    counts = np.bincount(rows, minlength=len(pdf)).astype(np.int64)
+
+    if len(rows):
+        term_codes, uniq_terms = pd.factorize(np.asarray(terms, object), sort=True)
+        order = np.lexsort((pos, doc_ids[rows], term_codes))
+        tok = pd.DataFrame(
+            {
+                "term": np.asarray(terms, object)[order],
+                "salt": np.full(len(rows), shard, np.int64),
+                "doc_id": doc_ids[rows][order],
+                "pos": pos[order],
+                "dl": counts[rows][order],
+            }
+        )
+        blocks = encode_partition(tok, segment)
+    else:
+        blocks = pd.DataFrame({c: [] for c in blocks_empty_columns()})
+
+    deltas = np.diff(doc_ids, prepend=np.int64(0))
+    if len(deltas):
+        deltas[0] = doc_ids[0]
+    marker = pd.DataFrame(
+        {
+            "term": [""],
+            "segment": [segment],
+            "block_id": [shard << 24],
+            "n_docs": [len(pdf)],
+            "min_doc_id": [int(doc_ids.min()) if len(doc_ids) else 0],
+            "max_doc_id": [int(doc_ids.max()) if len(doc_ids) else 0],
+            "doc_deltas": [vb_encode(deltas.astype(np.uint64))],
+            "tfs": [b""],
+            "dls": [vb_encode(counts.astype(np.uint64))],
+            "positions": [b""],
+            "max_tf": [0],
+            "min_dl": [int(counts.min()) if len(counts) else 0],
+            "sum_tf": [int(counts.sum())],
+        }
+    )
+    return pd.concat([blocks, marker], ignore_index=True)
+
+
+def blocks_empty_columns() -> list[str]:
+    from groonga_spark.postings import BLOCK_COLUMNS
+
+    return BLOCK_COLUMNS
+
 
 def build_segment(
     spark: SparkSession,
@@ -241,105 +321,87 @@ def build_segment(
     lo: int,
     hi: int,
     mode: str,
-    salt_target: int = SALT_TARGET,
+    shard_size: int = DEFAULT_SHARD_SIZE,
 ) -> dict:
-    """Tokenize + encode one segment (doc ids in [lo, hi)) and commit it."""
+    """Tokenize + encode one segment (doc ids in [lo, hi)) and commit it.
+
+    One shuffle (docs → shard groups), one write. Shard boundaries are a
+    pure function of doc_id, so blocks — and therefore the whole index —
+    are bit-identical at any parallelism (merge-determinism contract).
+    """
     t0 = time.time()
     seg_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-    toks = tokens_df(seg_docs, mode).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # explicit head-term skew handling: measure df per term (cheap partial
-    # agg), give terms above salt_target a doc-contiguous salt in [0, S)
-    head = (
-        toks.groupBy("term")
-        .count()
-        .filter(F.col("count") > salt_target)
-        .withColumn(
-            "n_salt",
-            F.least(F.lit(MAX_SALTS), F.ceil(F.col("count") / salt_target)).cast("int"),
-        )
-        .drop("count")
-    )
-    seg_len = max(1, hi - lo)
-    salted = (
-        toks.join(F.broadcast(head), "term", "left")
-        .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
-        .withColumn(
-            "salt",
-            ((F.col("doc_id") - F.lit(lo)) * F.col("n_salt") / F.lit(seg_len))
-            .cast("int"),
-        )
-        .drop("n_salt")
+    sharded = seg_docs.select("doc_id", "text").withColumn(
+        "shard", ((F.col("doc_id") - F.lit(lo)) / F.lit(shard_size)).cast("int")
     )
 
-    shuffled = salted.repartition("term", "salt").sortWithinPartitions(
-        "term", "salt", "doc_id", "pos"
-    )
+    def _enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_shard(pdf, int(key[0]), segment, mode)
 
-    def _encode(it):
-        pdfs = [p for p in it]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        yield encode_partition(pdf, segment)
-
-    blocks = shuffled.mapInPandas(_encode, schema=BLOCK_SCHEMA)
+    blocks = sharded.groupBy("shard").applyInPandas(_enc, schema=BLOCK_SCHEMA)
     seg_dir = store.p("segments", str(segment))
     blocks.write.mode("overwrite").parquet(seg_dir)
 
-    # doc_map slice: every doc in range, with its token count (0 if empty)
-    dls = toks.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    doc_cols = ["doc_id"] + [c for c in ("url", "lang") if c in docs.columns]
-    doc_map = (
-        seg_docs.select(*doc_cols)
-        .join(dls, "doc_id", "left")
-        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("long"))
-        .withColumn("segment", F.lit(segment).cast("int"))
-    )
-    doc_map.write.mode("overwrite").parquet(store.p("doc_map", str(segment)))
-    toks.unpersist()
+    # metrics off the committed files (exactly what was written) + the
+    # lineage commit: both are METADATA ops over a few MB of parquet, so
+    # they run driver-side (duckdb scan / pyarrow write) — no Spark job.
+    # This mirrors how an Iceberg commit records snapshot stats: the
+    # cluster does the data pass, the coordinator does the bookkeeping.
+    import duckdb
 
-    # metrics off the committed files (exactly what was written)
-    written = spark.read.parquet(seg_dir)
-    m = written.agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
-        F.coalesce(
-            F.sum(
-                F.length("doc_deltas")
-                + F.length("tfs")
-                + F.length("dls")
-                + F.length("positions")
-            ),
-            F.lit(0),
-        ).alias("bytes"),
-    ).collect()[0]
-    n_docs_seg = spark.read.parquet(store.p("doc_map", str(segment))).count()
+    m = duckdb.sql(
+        f"""
+        SELECT coalesce(sum(CASE WHEN term =  '' THEN n_docs END), 0) AS docs,
+               coalesce(sum(CASE WHEN term <> '' THEN n_docs END), 0) AS postings,
+               coalesce(sum(octet_length(doc_deltas) + octet_length(tfs)
+                            + octet_length(dls) + octet_length(positions)), 0)
+                 AS bytes,
+               coalesce(sum(CASE WHEN term = '' THEN sum_tf END), 0) AS dl_sum
+        FROM '{seg_dir}/*.parquet'
+        """
+    ).fetchone()
 
     lineage = {
         "segment": segment,
         "status": "committed",
-        "docs_tokenized": int(n_docs_seg),
-        "postings_emitted": int(m["postings"]),
-        "bytes_compressed": int(m["bytes"]),
+        "docs_tokenized": int(m[0]),
+        "postings_emitted": int(m[1]),
+        "bytes_compressed": int(m[2]),
+        "dl_sum": int(m[3]),
         "started_at": t0,
         "finished_at": time.time(),
     }
-    spark.createDataFrame(
-        [
-            (
-                lineage["segment"],
-                lineage["status"],
-                lineage["docs_tokenized"],
-                lineage["postings_emitted"],
-                lineage["bytes_compressed"],
-                lineage["started_at"],
-                lineage["finished_at"],
-            )
-        ],
-        "segment int, status string, docs_tokenized long, postings_emitted long,"
-        " bytes_compressed long, started_at double, finished_at double",
-    ).coalesce(1).write.mode("append").parquet(store.p("lineage"))
+    _append_lineage(store, lineage)
     return lineage
+
+
+LINEAGE_ARROW_SCHEMA = [
+    ("segment", "int32"),
+    ("status", "string"),
+    ("docs_tokenized", "int64"),
+    ("postings_emitted", "int64"),
+    ("bytes_compressed", "int64"),
+    ("dl_sum", "int64"),
+    ("started_at", "float64"),
+    ("finished_at", "float64"),
+]
+
+
+def _append_lineage(store: IndexStore, row: dict) -> None:
+    """Atomic single-row append to lineage/ as its own parquet file
+    (write-temp + rename — the commit point of the segment)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(store.p("lineage"), exist_ok=True)
+    schema = pa.schema([(n, pa.type_for_alias(t)) for n, t in LINEAGE_ARROW_SCHEMA])
+    table = pa.Table.from_pylist([row], schema=schema)
+    final = store.p("lineage", f"part-{row['segment']:05d}-{uuid.uuid4().hex}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
 
 
 # --------------------------------------------------------------------------
@@ -353,31 +415,68 @@ def finalize_index(
     k1: float = score_mod.K1_DEFAULT,
     b: float = score_mod.B_DEFAULT,
     segment_size: int = DEFAULT_SEGMENT_SIZE,
+    shard_size: int = DEFAULT_SHARD_SIZE,
 ) -> dict:
     seg_root = store.p("segments")
     seg_dirs = [
         os.path.join(seg_root, d) for d in sorted(os.listdir(seg_root), key=int)
     ]
     blocks = spark.read.parquet(*seg_dirs)
+    markers = blocks.filter(F.col("term") == "")
+
+    # corpus stats come off the committed lineage metrics (driver-side
+    # metadata read — no Spark job; every committed segment recorded its
+    # docs_tokenized and Σdl at commit time)
+    import duckdb
+
+    srow = duckdb.sql(
+        f"""SELECT coalesce(sum(docs_tokenized), 0),
+                   coalesce(sum(dl_sum), 0),
+                   coalesce(sum(postings_emitted), 0),
+                   coalesce(sum(bytes_compressed), 0)
+            FROM '{store.p("lineage")}/*.parquet'
+            WHERE status = 'committed'"""
+    ).fetchone()
+    n_docs = int(srow[0])
+    avgdl = float(srow[1]) / n_docs if n_docs else 0.0
 
     # lexicon: df/cf roll up from block partials; dense ids by term order
-    lex = blocks.groupBy("term").agg(
+    lex = blocks.filter(F.col("term") != "").groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    lex = assign_dense_ids(lex, "term", "term_id")
+    lex, n_terms = assign_dense_ids(lex, "term", "term_id", with_count=True)
     lex.write.mode("overwrite").parquet(store.p("lexicon"))
-    lex = spark.read.parquet(store.p("lexicon"))
+    # the write materialized through assign_dense_ids' persist — reuse it
+    # for the join below instead of re-reading
 
-    # consolidated doc_map + corpus stats
-    dm_root = store.p("doc_map")
-    dm_dirs = [
-        os.path.join(dm_root, d) for d in sorted(os.listdir(dm_root), key=int)
-    ]
-    doc_map = spark.read.parquet(*dm_dirs)
-    stats = doc_map.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    # doc_map decoded from the markers (one narrow pandas pass)
+    def _decode_markers(it):
+        from groonga_spark.codec import vb_decode
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ids = np.cumsum(vb_decode(row["doc_deltas"]).astype(np.int64))
+                dls = vb_decode(row["dls"]).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "dl": dls,
+                        "segment": np.full(len(ids), row["segment"], np.int32),
+                        "shard": np.full(
+                            len(ids), int(row["block_id"]) >> 24, np.int32
+                        ),
+                    }
+                )
+
+    (
+        markers.select("segment", "block_id", "doc_deltas", "dls")
+        .mapInPandas(
+            _decode_markers,
+            schema="doc_id long, dl long, segment int, shard int",
+        )
+        .write.mode("overwrite")
+        .parquet(store.p("doc_map"))
+    )
 
     # final postings: attach term_id + df, exact per-block score bound
     @F.pandas_udf("double")
@@ -391,22 +490,31 @@ def finalize_index(
             out[i] = score_mod.bm25(tf, dl, float(dfs.iloc[i]), n_docs, avgdl, k1, b).max()
         return pd.Series(out)
 
+    # inner join with the lexicon drops the "" marker rows. Partitioning:
+    # bucket = term_id·P/n_terms — a DETERMINISTIC range bucket (dense ids
+    # make it exact), so no repartitionByRange sampling pass (which would
+    # execute this join twice). Files stay term-range-clustered → parquet
+    # row-group / Iceberg partition pruning on term_id at query time. A
+    # giant term's blocks exceed one bucket only at extreme df; the shard
+    # dimension (block_id >> 24) is the documented sub-split lever then.
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     final = (
         blocks.join(lex.select("term", "term_id", "df"), "term")
-        .withColumn("block_max_score", _block_max_score("tfs", "dls", "df"))
-        .drop("term", "df")
-    )
-    (
-        final.repartitionByRange(F.col("term_id"))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.lit(n_part - 1),
+                (F.col("term_id") * n_part / F.lit(max(1, n_terms))).cast("int"),
+            ),
+        )
+        .repartition(n_part, "_bucket")
         .sortWithinPartitions("term_id", "segment", "block_id")
-        .write.mode("overwrite")
-        .parquet(store.p("postings"))
+        .withColumn("block_max_score", _block_max_score("tfs", "dls", "df"))
+        .drop("term", "df", "_bucket")
     )
+    final.write.mode("overwrite").parquet(store.p("postings"))
 
-    lineage = spark.read.parquet(store.p("lineage"))
-    totals = lineage.filter(F.col("status") == "committed").agg(
-        F.sum("postings_emitted").alias("p"), F.sum("bytes_compressed").alias("b")
-    ).collect()[0]
+    totals = (srow[2], srow[3])
 
     meta = {
         "format_version": 1,
@@ -417,10 +525,11 @@ def finalize_index(
         "tokenizer_mode": mode,
         "normalizer_version": NORMALIZER_VERSION,
         "segment_size": segment_size,
+        "shard_size": shard_size,
         "n_segments": len(seg_dirs),
-        "n_terms": lex.count(),
-        "postings_total": int(totals["p"] or 0),
-        "bytes_compressed": int(totals["b"] or 0),
+        "n_terms": n_terms,
+        "postings_total": int(totals[0]),
+        "bytes_compressed": int(totals[1]),
     }
     store.write_meta(meta)
     return meta
@@ -436,14 +545,17 @@ def build_index(
     path: str,
     mode: str = "delimit",
     segment_size: int = DEFAULT_SEGMENT_SIZE,
-    salt_target: int = SALT_TARGET,
+    salt_target: int | None = None,
     resume: bool = True,
     fail_after_segments: int | None = None,
+    shard_size: int = DEFAULT_SHARD_SIZE,
 ) -> dict:
     """Build (or resume) a full index over docs(doc_id, text, ...).
 
     ``fail_after_segments`` is a test hook: raise after N segment commits
-    to exercise resume-after-kill (BASELINE.md row 6).
+    to exercise resume-after-kill (BASELINE.md row 6). ``salt_target`` is
+    accepted for API compatibility; skew handling is now structural
+    (doc-range shards), so it is unused.
     """
     store = IndexStore(path)
     os.makedirs(path, exist_ok=True)
@@ -467,10 +579,12 @@ def build_index(
             seg * segment_size,
             (seg + 1) * segment_size,
             mode,
-            salt_target,
+            shard_size,
         )
         built += 1
         if fail_after_segments is not None and built >= fail_after_segments:
             raise RuntimeError(f"injected failure after {built} segments")
 
-    return finalize_index(spark, store, mode, segment_size=segment_size)
+    return finalize_index(
+        spark, store, mode, segment_size=segment_size, shard_size=shard_size
+    )

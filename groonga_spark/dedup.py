@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH (shingle → minhash →
+band → bucket self-join), and SimHash fingerprinting — the dedup family a
+100 TB web-text corpus needs before training. The reference engine has no
+dedup operators (its unit of identity is the table key [G: lib/hash.c ·
+grn_hash_add]); these extend the engine with the standard web-corpus
+algorithms (Broder 1997 MinHash; Charikar 2002 SimHash), expressed
+entirely as JVM-side DataFrame algebra — no Python in the hot path.
+
+Determinism contract: every hash is ``md5`` of an explicit string, so
+results are reproducible across engines (the driver's DuckDB oracle
+recomputes them bit-identically) and across cluster sizes.
+
+Scale notes (10^12 docs):
+- shingling/minhash is a narrow map (no shuffle); the only shuffles are
+  the per-doc signature agg and the band-bucket self-join;
+- the band self-join is the skew risk: a degenerate bucket (e.g. empty
+  docs) explodes quadratically. ``lsh_candidate_pairs`` caps bucket size
+  (``max_bucket``) — buckets above the cap are dropped and reported,
+  mirroring the head-term salting rationale in build.py;
+- exact dedup groups by md5(text): 1 shuffle of (hash → min id), with
+  map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def content_hash(text_col) -> Column:
+    """Canonical content hash: md5 of whitespace-collapsed trimmed text."""
+    return F.md5(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: (content_hash, n_docs, keep_id).
+
+    ``keep_id`` = min doc id of the group — the canonical survivor. A
+    plain hash aggregation: map-side partial combine makes the shuffle
+    O(distinct hashes), not O(rows).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"),
+                    F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep only each group's min-id survivor (the dedup'd corpus)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles (word n-grams) — shared by Jaccard + MinHash
+# --------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) — word n-gram shingle set, all JVM-side.
+
+    Split on single spaces (the corpus is whitespace-normalized; for raw
+    web text run normalize/extract first). ``transform(sequence(...))``
+    builds the n-grams inside codegen; no UDF, no shuffle.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (d1, d2, jaccard ≥ threshold).
+
+    inter(a,b) via shingle self-join + count; |a∪b| = |a|+|b|−inter.
+    The self-join shuffles on ``shingle`` — at corpus scale, frequent
+    shingles are the skew (same head-term phenomenon as the index build);
+    prefer minhash_lsh for 10^12 docs and keep this as the exact verifier
+    on candidate pairs.
+    """
+    sh = shingles(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h0..h{H-1}) — MinHash signature over the shingle set.
+
+    Hash family i = md5("i|" + shingle); the signature component is the
+    lexicographic min — string order on hex == numeric order on the hash,
+    so this is standard MinHash with a portable, engine-independent hash.
+    One groupBy(doc_id) with H min-aggregates: a single shuffle, map-side
+    combined, signature width H × 32 bytes per doc.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_buckets(sig: DataFrame, bands: int = 4,
+                     rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bucket) — band key = md5 of the band's signature
+    slice. Docs sharing any (band, bucket) are candidate near-dups."""
+    cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols.append(F.struct(F.lit(b).alias("band"),
+                             F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_bucket: int = 10_000) -> DataFrame:
+    """Candidate near-dup pairs (d1 < d2) from banded MinHash LSH.
+
+    With 16 hashes / 4 bands / 4 rows, P(candidate) ≈ 1−(1−j⁴)⁴ — steep
+    around j≈0.6, the classic near-dup operating point. ``max_bucket``
+    drops degenerate buckets (> cap members) before the quadratic
+    self-join — the explicit skew guard.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    bk = lsh_band_buckets(sig, bands, rows_per_band)
+    sized = bk.withColumn(
+        "n_in_bucket", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("n_in_bucket") <= max_bucket).drop("n_in_bucket")
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _nibble_expr(p: int) -> str:
+    """SQL for the value of hex digit ``p`` (0-based) of column ``h``."""
+    return f"(instr('{HEX}', substring(h, {p + 1}, 1)) - 1)"
+
+
+def simhash_bit_exprs(shift_fmt=None) -> list[str]:
+    """The 64 per-token ±1 bit contributions as SQL strings.
+
+    Engine-portable generator: ``shift_fmt(expr, s)`` renders a right
+    shift (Spark: ``shiftright(e, s)``; DuckDB: ``(e >> s)``), so the
+    Spark operator and the DuckDB oracle are generated from the same
+    definition — bit i (MSB-first within each hex nibble) of md5(term).
+    """
+    if shift_fmt is None:
+        shift_fmt = lambda e, s: f"shiftright({e}, {s})"  # noqa: E731
+    out = []
+    for p in range(16):
+        for j in range(4):
+            bit = f"({shift_fmt(_nibble_expr(p), 3 - j)} & 1)"
+            out.append(f"(2 * {bit} - 1)")
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash as a '0'/'1' bit string.
+
+    Per token occurrence: md5 → 64 bits → ±1 votes; fingerprint bit = 1
+    iff the vote sum is positive. One explode + one groupBy(doc_id) with
+    64 partially-aggregated sums — the shuffle carries 64 longs per doc,
+    not per token. The bitstring output keeps it sign-free and portable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "").withColumn("h", F.md5("term"))
+    aggs = [
+        F.sum(F.expr(e)).alias(f"s{i}")
+        for i, e in enumerate(simhash_bit_exprs())
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(*[
+        F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(64)
+    ])
+    return votes.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash bit strings (codegen-only)."""
+    pairs = F.zip_with(F.split(a, ""), F.split(b, ""),
+                       lambda x, y: (x != y).cast("int"))
+    return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v)

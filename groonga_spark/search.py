@@ -36,10 +36,14 @@ class FulltextIndex:
         self.spark = spark
         self.store = IndexStore(path)
         self.meta = self.store.read_meta()
+        self._lex_cache: dict[str, tuple[int, float] | None] = {}
+        self._postings_df: DataFrame | None = None
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.store.p("postings"))
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(self.store.p("postings"))
+        return self._postings_df
 
     @property
     def lexicon(self) -> DataFrame:
@@ -47,13 +51,38 @@ class FulltextIndex:
 
     @property
     def doc_map(self) -> DataFrame:
-        import os
-
-        root = self.store.p("doc_map")
-        dirs = [os.path.join(root, d) for d in sorted(os.listdir(root), key=int)]
-        return self.spark.read.parquet(*dirs)
+        return self.spark.read.parquet(self.store.p("doc_map"))
 
     # ---------------------------------------------------------------------
+
+    def _lexicon_lookup(self, tokens: list[str]) -> list[tuple[str, int, int]]:
+        """Driver-side term → (term_id, df) lookup via a direct pyarrow
+        predicate scan of the lexicon parquet — the PAT-trie seek
+        [G: lib/pat.c · grn_pat_get] without a Spark job. Parquet
+        row-group stats prune; a q-term query touches a few row groups.
+        (The prod Iceberg deployment does the same through its metadata
+        tables.) Results are memoized per index handle."""
+        missing = [t for t in tokens if t not in self._lex_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            dset = ds.dataset(self.store.p("lexicon"), format="parquet")
+            tbl = dset.to_table(
+                columns=["term", "term_id", "df"],
+                filter=ds.field("term").isin(missing),
+            )
+            found = set()
+            for term, tid, df in zip(*(c.to_pylist() for c in tbl.columns)):
+                self._lex_cache[term] = (int(tid), float(df))
+                found.add(term)
+            for t in missing:
+                if t not in found:
+                    self._lex_cache[t] = None
+        return [
+            (t, *self._lex_cache[t])
+            for t in tokens
+            if self._lex_cache.get(t) is not None
+        ]
 
     def _plan(self, ast) -> dict:
         """Driver-side planning: tokenize query texts with the INDEX's own
@@ -66,13 +95,9 @@ class FulltextIndex:
             toks = [term for term, _ in tokenize_str(normalize_str(t), mode)]
             tokens_by_text[t] = toks
             all_tokens.update(toks)
-        rows = (
-            self.lexicon.filter(F.col("term").isin(list(all_tokens)))
-            .select("term", "term_id", "df")
-            .collect()
-        )
-        tid = {r["term"]: int(r["term_id"]) for r in rows}
-        df_by_tid = {int(r["term_id"]): float(r["df"]) for r in rows}
+        rows = self._lexicon_lookup(sorted(all_tokens))
+        tid = {term: t_id for term, t_id, _ in rows}
+        df_by_tid = {t_id: df for _, t_id, df in rows}
         return {
             "tokens_by_text": {
                 t: [tid.get(tok) for tok in toks]
@@ -107,11 +132,15 @@ class FulltextIndex:
             doc, score = kernel.run(ast_b.value)
             return pd.DataFrame({"doc_id": doc, "score": score})
 
-        blocks = self.postings.filter(F.col("term_id").isin([int(t) for t in tids]))
-        per_segment = blocks.groupBy("segment").applyInPandas(
+        # shards are doc-disjoint → the kernel is correct per (segment,
+        # shard); parallelism = live shards, not segments
+        blocks = self.postings.filter(
+            F.col("term_id").isin([int(t) for t in tids])
+        ).withColumn("shard", F.shiftright("block_id", 24))
+        per_shard = blocks.groupBy("segment", "shard").applyInPandas(
             _run, schema=empty_schema
         )
-        return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def match_docs(self, query: str) -> DataFrame:
         """All matching doc ids (no top-k) — the COUNT/filter path."""
@@ -136,7 +165,7 @@ class FulltextIndex:
 
         blocks = self.postings.filter(
             F.col("term_id").isin([int(t) for t in plan["needed_tids"]])
-        )
-        return blocks.groupBy("segment").applyInPandas(
+        ).withColumn("shard", F.shiftright("block_id", 24))
+        return blocks.groupBy("segment", "shard").applyInPandas(
             _run, schema="doc_id long, score double"
         )

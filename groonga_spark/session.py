@@ -39,6 +39,28 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zpath)
 
 
+def warm_up(spark: SparkSession) -> None:
+    """Spin up the Python worker pool + codegen paths before timing.
+
+    Executes one tiny pandas-UDF job across all cores so worker fork +
+    numpy/pandas import cost lands here, not in the first measured job —
+    the steady-state throughput a long-running cluster actually has.
+    """
+    import pandas as pd
+
+    df = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _noop(it):
+        import numpy as np  # noqa: F401
+
+        for pdf in it:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    df.mapInPandas(_noop, schema="id long").count()
+
+
 def get_spark(
     app_name: str = "groonga_spark",
     master: str | None = None,

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a random-
+hyperplane LSH bucketed variant as the scale path — the ANN layer a
+training-data pipeline needs for embedding-based near-dup mining and
+retrieval. Not a reference capability (Groonga's vector columns are
+storage only [G: lib/store.c · grn_ja]); this extends the engine.
+
+Everything is JVM-side Column algebra (``zip_with``/``aggregate`` inside
+whole-stage codegen): no UDF, no Python in the hot path, arithmetic in
+float64 for determinism.
+
+Scale notes (10^9+ vectors):
+- brute-force top-k is one narrow scan + TakeOrderedAndProject: k rows
+  per partition cross the wire — fine for one probe, O(N·d) compute;
+- ``lsh_bucketed_topk`` prunes the scan to the probe's hamming-adjacent
+  hyperplane buckets; buckets are data — at prod scale, write them as a
+  bucketed/Z-ordered Iceberg table so the probe prunes files, the same
+  layout trick as postings.term_id (SURVEY.md §2.9);
+- hyperplanes are deterministic pseudo-random (md5-seeded), so bucket
+  assignment is reproducible across engines and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential, deterministic order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(emb: DataFrame, probe: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                exclude_id: int | None = None) -> DataFrame:
+    """Exact cosine top-k against one probe vector → (vec_id, sim).
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition heaps,
+    k rows shuffled per partition. Deterministic tie-break on id.
+    """
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    d = emb.select(F.col(id_col).alias("vec_id"),
+                   cosine(_as_double(vec_col), p).alias("sim"))
+    if exclude_id is not None:
+        d = d.filter(F.col("vec_id") != exclude_id)
+    return (
+        d.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "gs") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-7.5, 7.5]^dim.
+
+    Component (p, d) = md5(f"{seed}|{p}|{d}") first nibble − 7.5 —
+    reproducible everywhere without RNG state (scripts must not depend on
+    runtime randomness; cf. Date.now/Math.random bans in orchestration).
+    """
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            row.append(int(h[0], 16) - 7.5)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = 1 iff vec·plane_p > 0 (bit string)."""
+    bits = []
+    for row in planes:
+        p = F.array(*[F.lit(float(x)) for x in row])
+        bits.append(F.when(dot(vec, p) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(emb: DataFrame, probe: list[float], k: int = 10,
+                      n_planes: int = 8, hamming_radius: int = 1,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k: scan only buckets within ``hamming_radius`` of
+    the probe's bucket, then exact cosine inside the candidate set.
+
+    Probe bucket + its radius-r neighborhood is computed on the driver
+    (≤ Σ C(n_planes, i) keys) and pushed as an IN filter — with a
+    bucket-partitioned layout that is partition pruning, the ANN analogue
+    of postings term_id pruning.
+    """
+    pb = "".join(
+        "1" if sum(a * b for a, b in zip(probe, row)) > 0 else "0"
+        for row in planes_cache(n_planes, len(probe))
+    )
+    cands = {pb}
+    frontier = {pb}
+    for _ in range(hamming_radius):
+        nxt = set()
+        for b in frontier:
+            for i in range(len(b)):
+                nxt.add(b[:i] + ("0" if b[i] == "1" else "1") + b[i + 1:])
+        cands |= nxt
+        frontier = nxt
+
+    planes = planes_cache(n_planes, len(probe))
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    d = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    d = d.filter(F.col("bucket").isin(sorted(cands)))
+    if exclude_id is not None:
+        d = d.filter(F.col("vec_id") != exclude_id)
+    return (
+        d.select("vec_id", cosine(F.col("v"), p).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+_PLANES: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def planes_cache(n_planes: int, dim: int) -> list[list[float]]:
+    key = (n_planes, dim)
+    if key not in _PLANES:
+        _PLANES[key] = hyperplanes(n_planes, dim)
+    return _PLANES[key]
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.45,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup pairs (i < j, sim ≥ threshold).
+
+    Brute-force O(N²) cross join — correct baseline for tests/small N.
+    At corpus scale, pre-bucket with ``lsh_bucket`` and join within
+    buckets instead (documented scale path; same scoring expression).
+    """
+    a = emb.select(F.col(id_col).alias("i"), _as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("j"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("i", "j", F.round("sim", 4).alias("sim"))
+    )
