@@ -114,6 +114,11 @@ def q_ft_phrase(spark, sf):
     return _index(spark, sf).match_docs('"spark fast"').select("doc_id")
 
 
+def q_ft_prefix(spark, sf):
+    """QL prefix search `sp*` — PAT-trie predictive cursor equivalent."""
+    return _index(spark, sf).match_docs("sp*").select("doc_id")
+
+
 def q_ft_topk_bm25(spark, sf):
     hits = _index(spark, sf).search("spark merge", k=10)
     return hits.select("doc_id", F.round("score", 4).alias("score"))
@@ -331,6 +336,98 @@ def q_json_props(spark, sf):
     )
 
 
+def q_slices(spark, sf):
+    """slices[L]: named re-filters of one result set (§2.4)."""
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        filter="n_chars > 100",
+        limit=0,
+        slices={"long_en": {"filter": 'lang == "en" && n_chars > 400'}},
+    )
+    return res.slices["long_en"].select("doc_id", "lang", "n_chars")
+
+
+def q_adjuster(spark, sf):
+    """adjuster: keep the 'spark' result set, ADD a boosted score where
+    'fast' also matches (OP_ADJUST semantics, §2.7)."""
+    from groonga_spark.algebra import combine
+
+    idx = _index(spark, sf)
+    base = idx.match_docs("spark")
+    boost = idx.match_docs("fast").withColumn("score", F.col("score") * 2.0)
+    out = combine(base, boost, "adjust")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_drilldown_nested(spark, sf):
+    """Two-level rollup: per lang, number of distinct sources and docs."""
+    docs = _t(spark, sf, "documents")
+    lvl1 = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    return lvl1.groupBy("lang").agg(
+        F.count("*").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+
+
+def q_snippet(spark, sf):
+    """snippet(): first KWIC window around a 'spark' hit (§2.8)."""
+    from groonga_spark.functions import snippet_udf
+
+    docs = _t(spark, sf, "documents")
+    snip = snippet_udf(["spark"], width=50, max_n=1)
+    return docs.select(
+        "doc_id", snip(F.col("text")).alias("snips")
+    ).select("doc_id", F.expr("try_element_at(snips, 1)").alias("snippet"))
+
+
+def q_highlight(spark, sf):
+    from groonga_spark.functions import highlight_html_udf
+
+    docs = _t(spark, sf, "documents")
+    hl = highlight_html_udf(["merge"])
+    return docs.select("doc_id", hl(F.col("text")).alias("html"))
+
+
+def q_scalar_vector(spark, sf):
+    """vector_* over the tokenized text (§2.8)."""
+    from groonga_spark.functions import vector_join, vector_size, vector_slice
+
+    docs = _t(spark, sf, "documents")
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        vector_size(w).cast("long").alias("n"),
+        vector_join(vector_slice(w, 1, 3), "-").alias("mid"),
+    )
+
+
+def q_edit_distance(spark, sf):
+    from groonga_spark.functions import edit_distance
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        edit_distance(F.substring("text", 1, 10), F.lit("spark merge"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+def q_time_interval(spark, sf):
+    from groonga_spark.functions import time_classify_minute_interval
+
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy(
+            time_classify_minute_interval(F.col("ts"), 30).alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 # -- training-data pipeline ops --------------------------------------------
 
 def q_dedup_exact(spark, sf):
@@ -446,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_match_and": q_ft_match_and,
         "ft_match_or_not": q_ft_match_or_not,
         "ft_phrase": q_ft_phrase,
+        "ft_prefix": q_ft_prefix,
         "ft_topk_bm25": q_ft_topk_bm25,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
@@ -461,11 +559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_event": q_window_latest_event,
         "between_in": q_between_in,
         "agg_pricing": q_agg_pricing,
+        "slices": q_slices,
+        "adjuster": q_adjuster,
+        "drilldown_nested": q_drilldown_nested,
         # scalar functions (§2.8)
         "scalar_string": q_scalar_string,
         "scalar_time": q_scalar_time,
         "vector_funcs": q_vector_funcs,
         "json_props": q_json_props,
+        "snippet": q_snippet,
+        "highlight": q_highlight,
+        "scalar_vector": q_scalar_vector,
+        "edit_distance": q_edit_distance,
+        "time_interval": q_time_interval,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -509,7 +615,9 @@ _LANGS = {
 }
 
 
-def _bm25_sql(terms: list[str], k: int) -> str:
+def _bm25_cte(terms: list[str]) -> str:
+    """Shared WITH-body computing per-(doc, term) BM25 partial scores
+    ``sc(doc_id, term, sco)`` for the given query terms."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') w
@@ -520,14 +628,34 @@ tf AS (SELECT doc_id, term, count(*) AS tf
        FROM (SELECT doc_id, unnest(w) AS term FROM d)
        WHERE term IN ({in_list}) GROUP BY doc_id, term),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-sc AS (SELECT tf.doc_id,
+sc AS (SELECT tf.doc_id, tf.term,
               ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sco
-       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats s),
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats s)
+"""
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    return f"""
+{_bm25_cte(terms)},
 agg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nt FROM sc GROUP BY doc_id)
 SELECT doc_id, round(score, 4) AS score FROM agg
 WHERE nt = {len(terms)}
 ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _adjuster_sql() -> str:
+    """OP_ADJUST oracle: base = BM25('spark'); + 2×BM25('fast') where
+    both match; docs matching only 'fast' are NOT added."""
+    return f"""
+{_bm25_cte(["spark", "fast"])},
+agg AS (SELECT doc_id,
+               sum(CASE WHEN term = 'spark' THEN sco END) AS s_spark,
+               sum(CASE WHEN term = 'fast'  THEN sco END) AS s_fast
+        FROM sc GROUP BY doc_id)
+SELECT doc_id, round(s_spark + coalesce(2 * s_fast, 0), 4) AS score
+FROM agg WHERE s_spark IS NOT NULL
 """
 
 
@@ -621,7 +749,49 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase": """
             SELECT doc_id FROM documents
             WHERE ' ' || text || ' ' LIKE '% spark fast %'""",
+        "ft_prefix": """
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                                  x -> x LIKE 'sp%')) > 0""",
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
+        "adjuster": _adjuster_sql(),
+        "slices": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars > 100 AND lang = 'en' AND n_chars > 400""",
+        "drilldown_nested": """
+            SELECT lang, count(*)::BIGINT AS n_sources,
+                   sum(n)::BIGINT AS n_docs
+            FROM (SELECT lang, source, count(*) AS n
+                  FROM documents GROUP BY lang, source)
+            GROUP BY lang""",
+        "snippet": """
+            SELECT doc_id,
+                   CASE WHEN instr(text, 'spark') > 0
+                        THEN substr(text,
+                                    greatest(instr(text, 'spark') - 25, 1)::INT,
+                                    50)
+                        END AS snippet
+            FROM documents""",
+        "highlight": """
+            SELECT doc_id,
+                   replace(text, 'merge',
+                           '<span class="keyword">merge</span>') AS html
+            FROM documents""",
+        "scalar_vector": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n,
+                   array_to_string(string_split(text, ' ')[2:4], '-') AS mid
+            FROM documents""",
+        "edit_distance": """
+            SELECT doc_id,
+                   levenshtein(substr(text, 1, 10), 'spark merge')::BIGINT
+                     AS dist
+            FROM documents""",
+        "time_interval": """
+            SELECT CAST(to_timestamp((floor(epoch(ts))::BIGINT // 1800) * 1800)
+                        AS TIMESTAMP) AS bucket,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1""",
         "select_filter": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang = 'en' AND n_chars > 300""",

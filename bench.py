@@ -49,13 +49,14 @@ def main() -> None:
 
     from groonga_spark.build import build_index
     from groonga_spark.search import FulltextIndex
-    from groonga_spark.session import get_spark
+    from groonga_spark.session import get_spark, warm_up
 
     spark = get_spark(
         "groonga_spark_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
+    warm_up(spark)
 
     t_start = time.time()
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

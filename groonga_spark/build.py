@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from groonga_spark import score as score_mod
 from groonga_spark.normalize import NORMALIZER_VERSION, normalize_series
 from groonga_spark.postings import BLOCK_SCHEMA, encode_partition
-from groonga_spark.tokenize import tokenize_batch
+from groonga_spark.tokenize import tokenize_batch, tokenize_batch_encoded
 
 DEFAULT_SEGMENT_SIZE = 1 << 20          # docs per segment
 DEFAULT_SHARD_SIZE = 2048               # docs per shard (fixed per index)
@@ -265,22 +265,23 @@ def encode_shard(
     pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
     texts = normalize_series(pdf["text"])
-    rows, terms, pos = tokenize_batch(texts, mode)
+    rows, codes, uniq_terms, pos = tokenize_batch_encoded(texts, mode)
     counts = np.bincount(rows, minlength=len(pdf)).astype(np.int64)
 
     if len(rows):
-        term_codes, uniq_terms = pd.factorize(np.asarray(terms, object), sort=True)
-        order = np.lexsort((pos, doc_ids[rows], term_codes))
+        # integer-code sort + grouping; per-token strings never exist —
+        # only the shard vocabulary (uniq_terms) is materialized
+        order = np.lexsort((pos, doc_ids[rows], codes))
         tok = pd.DataFrame(
             {
-                "term": np.asarray(terms, object)[order],
+                "term_code": codes[order],
                 "salt": np.full(len(rows), shard, np.int64),
                 "doc_id": doc_ids[rows][order],
                 "pos": pos[order],
                 "dl": counts[rows][order],
             }
         )
-        blocks = encode_partition(tok, segment)
+        blocks = encode_partition(tok, segment, uniq_terms=uniq_terms)
     else:
         blocks = pd.DataFrame({c: [] for c in blocks_empty_columns()})
 
@@ -349,7 +350,8 @@ def build_segment(
     # cluster does the data pass, the coordinator does the bookkeeping.
     import duckdb
 
-    m = duckdb.sql(
+    _con = duckdb.connect()
+    m = _con.sql(
         f"""
         SELECT coalesce(sum(CASE WHEN term =  '' THEN n_docs END), 0) AS docs,
                coalesce(sum(CASE WHEN term <> '' THEN n_docs END), 0) AS postings,
@@ -429,7 +431,8 @@ def finalize_index(
     # docs_tokenized and Σdl at commit time)
     import duckdb
 
-    srow = duckdb.sql(
+    _con = duckdb.connect()
+    srow = _con.sql(
         f"""SELECT coalesce(sum(docs_tokenized), 0),
                    coalesce(sum(dl_sum), 0),
                    coalesce(sum(postings_emitted), 0),
@@ -449,46 +452,58 @@ def finalize_index(
     # the write materialized through assign_dense_ids' persist — reuse it
     # for the join below instead of re-reading
 
-    # doc_map decoded from the markers (one narrow pandas pass)
+    # doc_map decoded from the markers: whole-batch decode (one vb_decode
+    # over the concatenated buffers, segmented cumsum) — no per-row Python
     def _decode_markers(it):
-        from groonga_spark.codec import vb_decode
+        from groonga_spark.codec import _segmented_cumsum, vb_decode
 
         for pdf in it:
-            for _, row in pdf.iterrows():
-                ids = np.cumsum(vb_decode(row["doc_deltas"]).astype(np.int64))
-                dls = vb_decode(row["dls"]).astype(np.int64)
-                yield pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "dl": dls,
-                        "segment": np.full(len(ids), row["segment"], np.int32),
-                        "shard": np.full(
-                            len(ids), int(row["block_id"]) >> 24, np.int32
+            if not len(pdf):
+                continue
+            n_per = pdf["n_docs"].to_numpy(np.int64)
+            deltas = vb_decode(b"".join(pdf["doc_deltas"])).astype(np.int64)
+            ids = _segmented_cumsum(deltas, n_per)
+            dls = vb_decode(b"".join(pdf["dls"])).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "dl": dls,
+                    "segment": np.repeat(
+                        pdf["segment"].to_numpy(np.int32), n_per
+                    ),
+                    "shard": np.repeat(
+                        (pdf["block_id"].to_numpy(np.int64) >> 24).astype(
+                            np.int32
                         ),
-                    }
-                )
+                        n_per,
+                    ),
+                }
+            )
 
-    (
-        markers.select("segment", "block_id", "doc_deltas", "dls")
-        .mapInPandas(
-            _decode_markers,
-            schema="doc_id long, dl long, segment int, shard int",
+    def _write_doc_map():
+        (
+            markers.select("segment", "block_id", "n_docs", "doc_deltas", "dls")
+            .mapInPandas(
+                _decode_markers,
+                schema="doc_id long, dl long, segment int, shard int",
+            )
+            .write.mode("overwrite")
+            .parquet(store.p("doc_map"))
         )
-        .write.mode("overwrite")
-        .parquet(store.p("doc_map"))
-    )
 
-    # final postings: attach term_id + df, exact per-block score bound
-    @F.pandas_udf("double")
-    def _block_max_score(tfs: pd.Series, dls: pd.Series, dfs: pd.Series) -> pd.Series:
-        from groonga_spark.codec import vb_decode
+    # doc_map is independent of the postings merge — run it concurrently
+    # so its job doesn't serialize the finalize critical path
+    from concurrent.futures import ThreadPoolExecutor
 
-        out = np.empty(len(tfs), np.float64)
-        for i in range(len(tfs)):
-            tf = vb_decode(tfs.iloc[i]).astype(np.float64)
-            dl = vb_decode(dls.iloc[i]).astype(np.float64)
-            out[i] = score_mod.bm25(tf, dl, float(dfs.iloc[i]), n_docs, avgdl, k1, b).max()
-        return pd.Series(out)
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _doc_map_fut = _pool.submit(_write_doc_map)
+
+    # final postings: attach term_id + df. No score column is stored:
+    # every block already carries (max_tf, min_dl), and the query kernel
+    # derives the block-max WAND bound from those + df at query time
+    # (score.block_upper_bound) — bounds stay valid under incremental
+    # appends (stats move) and the merge stays pure JVM I/O (no Arrow
+    # round-trip through Python).
 
     # inner join with the lexicon drops the "" marker rows. Partitioning:
     # bucket = term_id·P/n_terms — a DETERMINISTIC range bucket (dense ids
@@ -497,6 +512,9 @@ def finalize_index(
     # row-group / Iceberg partition pruning on term_id at query time. A
     # giant term's blocks exceed one bucket only at extreme df; the shard
     # dimension (block_id >> 24) is the documented sub-split lever then.
+    # `_sub` (shard mod 4) splits each term range across 4 partitions so a
+    # head term's block pile can't straggle one task; pruning still works
+    # (a term's blocks live in ≤4 term-range-clustered files).
     n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     final = (
         blocks.join(lex.select("term", "term_id", "df"), "term")
@@ -507,12 +525,14 @@ def finalize_index(
                 (F.col("term_id") * n_part / F.lit(max(1, n_terms))).cast("int"),
             ),
         )
-        .repartition(n_part, "_bucket")
+        .withColumn("_sub", F.pmod(F.shiftright("block_id", 24), F.lit(4)))
+        .repartition(n_part, "_bucket", "_sub")
         .sortWithinPartitions("term_id", "segment", "block_id")
-        .withColumn("block_max_score", _block_max_score("tfs", "dls", "df"))
-        .drop("term", "df", "_bucket")
+        .drop("term", "_bucket", "_sub")
     )
     final.write.mode("overwrite").parquet(store.p("postings"))
+    _doc_map_fut.result()
+    _pool.shutdown()
 
     totals = (srow[2], srow[3])
 
@@ -549,6 +569,7 @@ def build_index(
     resume: bool = True,
     fail_after_segments: int | None = None,
     shard_size: int = DEFAULT_SHARD_SIZE,
+    max_concurrent_segments: int = 3,
 ) -> dict:
     """Build (or resume) a full index over docs(doc_id, text, ...).
 
@@ -567,23 +588,69 @@ def build_index(
     n_segments = max_id // segment_size + 1
 
     done = store.committed_segments(spark) if resume else set()
-    built = 0
-    for seg in range(n_segments):
-        if seg in done:
-            continue
-        build_segment(
-            spark,
-            store,
-            docs,
-            seg,
-            seg * segment_size,
-            (seg + 1) * segment_size,
-            mode,
-            shard_size,
+    if done:  # noqa: SIM102
+        # incremental correctness: a committed segment whose doc count no
+        # longer matches its lineage (docs appended into its id range
+        # since the last build) is stale — rebuild it. One doc_id-column
+        # aggregation over the corpus; its lineage rows are replaced.
+        actual = {
+            int(r["seg"]): int(r["count"])
+            for r in docs.groupBy(
+                (F.col("doc_id") / segment_size).cast("long").alias("seg")
+            ).count().collect()
+        }
+        import duckdb
+
+        _con = duckdb.connect()
+        recorded = dict(
+            _con.sql(
+                f"""SELECT segment, max(docs_tokenized)
+                    FROM '{store.p("lineage")}/*.parquet'
+                    WHERE status = 'committed' GROUP BY segment"""
+            ).fetchall()
         )
-        built += 1
-        if fail_after_segments is not None and built >= fail_after_segments:
-            raise RuntimeError(f"injected failure after {built} segments")
+        _con.close()
+        stale = {
+            s for s in done if actual.get(s, 0) != recorded.get(s, -1)
+        }
+        for s in stale:
+            import glob as _glob
+
+            for f in _glob.glob(store.p("lineage", f"part-{s:05d}-*")):
+                os.remove(f)
+        done -= stale
+    pending = [s for s in range(n_segments) if s not in done]
+    if fail_after_segments is not None or max_concurrent_segments <= 1:
+        built = 0
+        for seg in pending:
+            build_segment(
+                spark, store, docs, seg, seg * segment_size,
+                (seg + 1) * segment_size, mode, shard_size,
+            )
+            built += 1
+            if fail_after_segments is not None and built >= fail_after_segments:
+                raise RuntimeError(f"injected failure after {built} segments")
+    elif pending:
+        # pipeline segment jobs: Spark's scheduler interleaves their
+        # stages, so one segment's driver-side bookkeeping (metrics,
+        # lineage commit) overlaps another's cluster work instead of
+        # serializing between jobs. Each segment still commits
+        # independently — the resume contract is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_concurrent_segments, len(pending))
+        ) as ex:
+            futs = [
+                ex.submit(
+                    build_segment, spark, store, docs, seg,
+                    seg * segment_size, (seg + 1) * segment_size, mode,
+                    shard_size,
+                )
+                for seg in pending
+            ]
+            for f in futs:
+                f.result()
 
     return finalize_index(
         spark, store, mode, segment_size=segment_size, shard_size=shard_size

@@ -183,6 +183,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     sized = bk.withColumn(
         "n_in_bucket", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("n_in_bucket") <= max_bucket).drop("n_in_bucket")
+    # persist: both sides of the self-join read this; without it the whole
+    # shingle→signature pipeline (16 md5 min-aggs) executes twice
+    sized = sized.persist()
     a, b = sized.alias("a"), sized.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -75,18 +75,25 @@ def _expand_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return rep_start + within
 
 
-def encode_partition(pdf: pd.DataFrame, segment: int) -> pd.DataFrame:
+def encode_partition(pdf: pd.DataFrame, segment: int,
+                     uniq_terms: list[str] | None = None) -> pd.DataFrame:
     """Encode one shuffle partition of token rows into posting-block rows.
 
-    ``pdf`` columns: term (str), salt (int), doc_id (long), pos (long),
-    dl (long) — MUST be sorted by (term, salt, doc_id, pos) (the caller
-    does sortWithinPartitions after repartition).
+    ``pdf`` columns: salt (int), doc_id (long), pos (long), dl (long),
+    plus EITHER ``term`` (str) OR ``term_code`` (int indexes into
+    ``uniq_terms`` — the fast path: grouping compares ints and term
+    strings are only touched once per BLOCK). MUST be sorted by
+    (term[_code], salt, doc_id, pos).
     """
     n = len(pdf)
     if n == 0:
         return pd.DataFrame({c: [] for c in BLOCK_COLUMNS})
 
-    term = pdf["term"].to_numpy()
+    if "term_code" in pdf.columns:
+        term = pdf["term_code"].to_numpy(np.int64)
+    else:
+        term = pdf["term"].to_numpy()
+        uniq_terms = None
     salt = pdf["salt"].to_numpy(np.int64)
     doc = pdf["doc_id"].to_numpy(np.int64)
     pos = pdf["pos"].to_numpy(np.int64)
@@ -136,6 +143,10 @@ def encode_partition(pdf: pd.DataFrame, segment: int) -> pd.DataFrame:
         blk_of_doc_local[blk_starts_doc]
     )
     blk_terms = term[grp_starts_tok[blk_term_idx]]
+    if uniq_terms is not None:
+        # term held int codes → resolve strings once per block
+        _uniq = np.asarray(uniq_terms, object)
+        blk_terms = _uniq[blk_terms]
 
     # --- doc deltas (reset to absolute at block starts) --------------------
     deltas = np.diff(udoc, prepend=np.int64(0))

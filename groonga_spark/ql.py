@@ -28,6 +28,15 @@ class Phrase:
 
 
 @dataclass
+class Prefix:
+    """Predictive/prefix match (QL trailing ``*``) — the PAT-trie prefix
+    cursor [G: lib/pat.c · grn_pat_cursor PREFIX mode] as a lexicon
+    range scan expanded to an OR at plan time."""
+
+    text: str
+
+
+@dataclass
 class And:
     children: list = field(default_factory=list)
 
@@ -108,6 +117,8 @@ def parse_query(q: str):
             return Phrase(val)
         if kind == "TERM":
             take()
+            if len(val) > 1 and val.endswith("*") and not val.endswith("\\*"):
+                return Prefix(val[:-1])
             return Term(val)
         take()
         return None
@@ -152,6 +163,26 @@ def query_terms(node) -> list[str]:
         return []
     if isinstance(node, (Term, Phrase)):
         return [node.text]
+    if isinstance(node, Prefix):
+        return []  # expanded separately (lexicon range scan)
     if isinstance(node, Not):
         return query_terms(node.child)
     return [t for c in node.children for t in query_terms(c)]
+
+
+def rewrite(node, fn):
+    """Bottom-up AST rewrite: ``fn(leaf) -> node`` applied to every
+    Term/Phrase/Prefix leaf (query expansion, prefix expansion)."""
+    if node is None:
+        return None
+    if isinstance(node, (Term, Phrase, Prefix)):
+        return fn(node)
+    if isinstance(node, Not):
+        child = rewrite(node.child, fn)
+        return Not(child) if child is not None else None
+    kids = [rewrite(c, fn) for c in node.children]
+    kids = [k for k in kids if k is not None]
+    if not kids:
+        return None
+    cls = type(node)
+    return kids[0] if len(kids) == 1 and not isinstance(kids[0], Not) else cls(kids)

@@ -17,6 +17,8 @@ corpus size.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -84,6 +86,47 @@ class FulltextIndex:
             if self._lex_cache.get(t) is not None
         ]
 
+    def _prefix_terms(self, prefix: str, limit: int = 32) -> list[str]:
+        """Lexicon range scan for a prefix — the PAT-trie predictive
+        cursor [G: lib/pat.c · GRN_CURSOR_PREFIX]: terms in
+        [p, p+U+10FFFF] are exactly those starting with p (bytewise
+        UTF-8 order)."""
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(self.store.p("lexicon"), format="parquet")
+        tbl = dset.to_table(
+            columns=["term"],
+            filter=(ds.field("term") >= prefix)
+            & (ds.field("term") <= prefix + chr(0x10FFFF)),
+        )
+        return sorted(tbl.column("term").to_pylist())[:limit]
+
+    def _expand_ast(self, ast, expansions: dict | None = None):
+        """Plan-time AST rewrites: QL prefix leaves (``word*``) become an
+        OR over matching lexicon terms; ``expansions`` (query_expand
+        [G: lib/expr.c · grn_expr_syntax_expand_query]) maps a term to
+        synonym alternatives OR-ed with it."""
+        from groonga_spark.ql import Or, Prefix, Term, rewrite
+
+        if ast is None:
+            return None
+
+        def fn(leaf):
+            if isinstance(leaf, Prefix):
+                terms = self._prefix_terms(normalize_str(leaf.text).lower())
+                if not terms:
+                    return Term("\x00<no-match>")  # impossible term → ∅
+                if len(terms) == 1:
+                    return Term(terms[0])
+                return Or([Term(t) for t in terms])
+            if (expansions and isinstance(leaf, Term)
+                    and leaf.text in expansions):
+                alts = [leaf.text, *expansions[leaf.text]]
+                return Or([Term(a) for a in alts])
+            return leaf
+
+        return rewrite(ast, fn)
+
     def _plan(self, ast) -> dict:
         """Driver-side planning: tokenize query texts with the INDEX's own
         tokenizer, look the tokens up in the lexicon (one pruned scan)."""
@@ -105,12 +148,102 @@ class FulltextIndex:
             },
             "df_by_tid": df_by_tid,
             "needed_tids": sorted(set(tid.values())),
+            "tombstones": self.tombstones(),
         }
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    # beyond this many (estimated) posting bytes, queries run distributed;
+    # under it, the driver reads the pruned blocks directly (search-head
+    # pattern — same kernel, no job scheduling latency)
+    DRIVER_QUERY_MAX_BYTES = 128 << 20
+
+    def _stats(self) -> dict:
+        return {
+            "n_docs": float(self.meta["n_docs"]),
+            "avgdl": float(self.meta["avgdl"]),
+            "k1": float(self.meta["k1"]),
+            "b": float(self.meta["b"]),
+        }
+
+    # -- deletes (tombstones) ---------------------------------------------
+    #
+    # The reference deletes in place [G: lib/proc.c · proc_delete →
+    # grn_table_delete + index hooks]. Immutable segments instead take the
+    # LSM route: deleted doc ids are tombstones, masked at posting-decode
+    # time; corpus stats (N, avgdl, df) intentionally drift until a
+    # rebuild compacts them — standard search-engine semantics.
+
+    def delete_docs(self, doc_ids) -> None:
+        """Tombstone doc ids (append-only metadata write, driver-side)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self.store.p("tombstones")
+        os.makedirs(d, exist_ok=True)
+        table = pa.table({"doc_id": pa.array(sorted(set(int(x) for x in doc_ids)),
+                                             type=pa.int64())})
+        final = os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, final + ".tmp")
+        os.replace(final + ".tmp", final)
+        self._tombstones = None  # invalidate cache
+
+    def tombstones(self) -> np.ndarray:
+        if getattr(self, "_tombstones", None) is None:
+            d = self.store.p("tombstones")
+            if not os.path.isdir(d):
+                self._tombstones = np.empty(0, np.int64)
+            else:
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(d, format="parquet").to_table()
+                self._tombstones = np.unique(
+                    np.asarray(tbl.column("doc_id").to_pylist(), np.int64)
+                )
+        return self._tombstones
+
+    def _local_blocks(self, tids: list[int], plan: dict,
+                      force: bool = False):
+        """term_id-pruned pyarrow scan of postings for the driver-local
+        path, or None when the estimated volume warrants the cluster."""
+        meta = self.meta
+        bpp = (
+            meta["bytes_compressed"] / meta["postings_total"]
+            if meta.get("postings_total")
+            else 8.0
+        )
+        est = sum(plan["df_by_tid"].get(t, 0.0) for t in tids) * bpp * 2.0
+        if est > self.DRIVER_QUERY_MAX_BYTES and not force:
+            return None
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(self.store.p("postings"), format="parquet")
+        tbl = dset.to_table(filter=ds.field("term_id").isin(list(tids)))
+        return tbl.to_pandas()
+
+    def _run_local(self, pdf: pd.DataFrame, ast, plan: dict, stats: dict,
+                   k: int, topk: bool):
+        """Run the kernel on the driver over the whole pruned block set.
+
+        Blocks across segments/shards are globally doc-disjoint and
+        ordered by (segment, block_id), so ONE kernel evaluates the full
+        index — no per-shard splitting cost on the driver."""
+        kernel = SegmentQueryKernel(pdf, plan, stats, k)
+        doc, score = kernel.run(ast) if topk else kernel.eval(ast)
+        out = pd.DataFrame({"doc_id": doc, "score": score})
+        return self.spark.createDataFrame(out, "doc_id long, score double")
+
+    def search(self, query: str, k: int = 10,
+               distributed: bool | None = None,
+               expansions: dict | None = None) -> DataFrame:
         """BM25 top-k for a Groonga-QL query → DataFrame(doc_id, score),
-        ordered by (score desc, doc_id asc)."""
-        ast = parse_query(query)
+        ordered by (score desc, doc_id asc).
+
+        ``distributed=None`` auto-routes: small posting volumes run on
+        the driver over a term_id-pruned pyarrow scan (identical kernel,
+        no job latency); large ones fan out per (segment, shard).
+        ``expansions`` = synonym map (query_expand)."""
+        ast = self._expand_ast(parse_query(query), expansions)
         plan = self._plan(ast)
         spark = self.spark
         empty_schema = "doc_id long, score double"
@@ -118,12 +251,15 @@ class FulltextIndex:
         if ast is None or not tids:
             return spark.createDataFrame([], empty_schema)
 
-        stats = {
-            "n_docs": float(self.meta["n_docs"]),
-            "avgdl": float(self.meta["avgdl"]),
-            "k1": float(self.meta["k1"]),
-            "b": float(self.meta["b"]),
-        }
+        if distributed is not True:
+            pdf = self._local_blocks(
+                tids, plan, force=(distributed is False)
+            )
+            if pdf is not None:
+                return self._run_local(pdf, ast, plan, self._stats(), k,
+                                       topk=True)
+
+        stats = self._stats()
         bplan = spark.sparkContext.broadcast(plan)
         ast_b = spark.sparkContext.broadcast(ast)
 
@@ -142,19 +278,23 @@ class FulltextIndex:
         )
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def match_docs(self, query: str) -> DataFrame:
+    def match_docs(self, query: str,
+                   distributed: bool | None = None,
+                   expansions: dict | None = None) -> DataFrame:
         """All matching doc ids (no top-k) — the COUNT/filter path."""
-        ast = parse_query(query)
+        ast = self._expand_ast(parse_query(query), expansions)
         plan = self._plan(ast)
         spark = self.spark
         if ast is None or not plan["needed_tids"]:
             return spark.createDataFrame([], "doc_id long, score double")
-        stats = {
-            "n_docs": float(self.meta["n_docs"]),
-            "avgdl": float(self.meta["avgdl"]),
-            "k1": float(self.meta["k1"]),
-            "b": float(self.meta["b"]),
-        }
+        if distributed is not True:
+            pdf = self._local_blocks(
+                plan["needed_tids"], plan, force=(distributed is False)
+            )
+            if pdf is not None:
+                return self._run_local(pdf, ast, plan, self._stats(),
+                                       1 << 62, topk=False)
+        stats = self._stats()
         bplan = spark.sparkContext.broadcast(plan)
         ast_b = spark.sparkContext.broadcast(ast)
 

@@ -15,14 +15,10 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Distribute groonga_spark to executor Python workers.
-
-    Mirrors the ``spark-submit --py-files engine.zip`` deployment contract
-    (north rule): the package is zipped once and registered with
-    ``addPyFile`` so every executor — local thread or remote container —
-    can unpickle our pandas/Arrow UDFs.
-    """
+def package_zip() -> str:
+    """Build (or refresh) the engine's ``--py-files`` zip and return its
+    path — the artifact a ``spark-submit --py-files engine.zip`` deploy
+    ships to every executor."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(tempfile.gettempdir(), "groonga_spark_pkg.zip")
     if not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
@@ -36,7 +32,18 @@ def _ship_package(spark: SparkSession) -> None:
                 if f.endswith(".py"):
                     z.write(os.path.join(pkg_dir, f), f"groonga_spark/{f}")
         os.replace(tmp, zpath)
-    spark.sparkContext.addPyFile(zpath)
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute groonga_spark to executor Python workers.
+
+    Mirrors the ``spark-submit --py-files engine.zip`` deployment contract
+    (north rule): the package is zipped once and registered with
+    ``addPyFile`` so every executor — local thread or remote container —
+    can unpickle our pandas/Arrow UDFs.
+    """
+    spark.sparkContext.addPyFile(package_zip())
 
 
 def warm_up(spark: SparkSession) -> None:

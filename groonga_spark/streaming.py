@@ -1,0 +1,82 @@
+"""Incremental / streaming index maintenance.
+
+The reference updates its index per-record via load hooks
+[G: lib/db.c hooks → lib/ii.c · grn_ii_column_update]. The Spark-native
+equivalent (SURVEY.md §2.10) is incremental SEGMENT builds: new docs
+arrive → new doc-id ranges → new segments → finalize merges. Two entry
+points:
+
+- ``append_docs``: batch-incremental — run after appending docs to the
+  corpus; ``build_index(resume=True)`` skips committed segments, rebuilds
+  any segment whose id range gained docs (stale detection via lineage),
+  and re-finalizes. Idempotent; safe to re-run after failures.
+
+- ``stream_build``: Structured Streaming — ``foreachBatch`` over any
+  streaming source; each micro-batch appends its docs as segments via
+  the same resumable machinery. Spark's checkpoint gives exactly-once
+  batch delivery; segment lineage makes the index side idempotent, so
+  replays are harmless.
+
+The reference is NOT a streaming engine — no watermarks/session windows
+are built here (SURVEY.md §2.10: not a capability of the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from groonga_spark.build import (
+    DEFAULT_SEGMENT_SIZE,
+    DEFAULT_SHARD_SIZE,
+    build_index,
+)
+
+
+def append_docs(
+    spark: SparkSession,
+    all_docs: DataFrame,
+    path: str,
+    mode: str = "delimit",
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+) -> dict:
+    """Bring the index at ``path`` up to date with ``all_docs``.
+
+    ``all_docs`` is the full current corpus (e.g. the Iceberg table after
+    new snapshots); only segments with new/changed doc counts rebuild.
+    """
+    return build_index(
+        spark, all_docs, path, mode=mode, segment_size=segment_size,
+        shard_size=shard_size, resume=True,
+    )
+
+
+def stream_build(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    mode: str = "delimit",
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+):
+    """writeStream.foreachBatch pipeline: append each micro-batch to the
+    corpus parquet, then incrementally extend the index.
+
+    Returns the DataStreamWriter (caller picks the trigger, e.g.
+    ``.trigger(availableNow=True).start()``). Batches must carry
+    monotonically growing ``doc_id``s (assign upstream via
+    build.assign_dense_ids / a high-water mark).
+    """
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(corpus_path)
+        all_docs = spark.read.parquet(corpus_path)
+        append_docs(spark, all_docs, index_path, mode=mode,
+                    segment_size=segment_size, shard_size=shard_size)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -111,22 +111,14 @@ def _classify(cp: np.ndarray) -> np.ndarray:
     return cls.astype(np.uint8)
 
 
-def tokenize_batch(
-    texts: "pd.Series | list[str]", mode: str = "bigram"
-) -> tuple[np.ndarray, list[str], np.ndarray]:
-    """Tokenize a batch of (already normalized) texts.
-
-    Returns ``(row_idx, terms, pos)`` — parallel arrays of the exploded
-    token stream: ``row_idx[i]`` is the 0-based index into ``texts`` of
-    token ``terms[i]`` at in-document position ``pos[i]``.
-    """
-    if isinstance(texts, pd.Series):
-        texts = texts.tolist()
-    texts = ["" if t is None else t for t in texts]
+def _token_offsets(
+    texts: list[str], mode: str
+):
+    """Shared core: → (joined, cp, row_idx, tok_start, tok_end, pos) or
+    None for an empty batch."""
     joined = "".join(texts)
-    empty = (np.empty(0, np.int64), [], np.empty(0, np.int64))
     if not joined:
-        return empty
+        return None
 
     cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     n = len(cp)
@@ -173,7 +165,7 @@ def tokenize_batch(
     tok_end = tok_end[order]
 
     if len(tok_start) == 0:
-        return empty
+        return None
 
     row_idx = np.searchsorted(doc_ends, tok_start, side="right")
     # in-document position = token index within its document's stream
@@ -181,10 +173,109 @@ def tokenize_batch(
     pos = np.arange(len(tok_start)) - np.repeat(
         first_of_doc, np.diff(first_of_doc, append=len(tok_start))
     )
+    return joined, cp, row_idx.astype(np.int64), tok_start, tok_end, pos.astype(np.int64)
 
+
+def tokenize_batch(
+    texts: "pd.Series | list[str]", mode: str = "bigram"
+) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """Tokenize a batch of (already normalized) texts.
+
+    Returns ``(row_idx, terms, pos)`` — parallel arrays of the exploded
+    token stream: ``row_idx[i]`` is the 0-based index into ``texts`` of
+    token ``terms[i]`` at in-document position ``pos[i]``.
+    """
+    if isinstance(texts, pd.Series):
+        texts = texts.tolist()
+    texts = ["" if t is None else t for t in texts]
+    r = _token_offsets(texts, mode)
+    if r is None:
+        return np.empty(0, np.int64), [], np.empty(0, np.int64)
+    joined, _, row_idx, tok_start, tok_end, pos = r
     # string materialization (per-token slice of one Python str; C-level)
     terms = [joined[s:e] for s, e in zip(tok_start.tolist(), tok_end.tolist())]
-    return row_idx.astype(np.int64), terms, pos.astype(np.int64)
+    return row_idx, terms, pos
+
+
+_R1 = np.uint64(0x9E3779B97F4A7C15)   # odd → invertible mod 2^64
+_R2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_R1_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_R2_INV = np.uint64(pow(0xC2B2AE3D27D4EB4F, -1, 1 << 64))
+
+
+def _segment_hashes(cp: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                    r: np.uint64, r_inv: np.uint64) -> np.ndarray:
+    """Polynomial hash of cp[s:e) per (s, e), all uint64 wraparound:
+    H = (P[e] − P[s]) · r⁻ˢ with P[k] = Σ_{j<k} cp[j]·rʲ."""
+    n = len(cp)
+    with np.errstate(over="ignore"):
+        pw = np.multiply.accumulate(
+            np.concatenate([[np.uint64(1)], np.full(n - 1, r, np.uint64)])
+        )
+        inv_pw = np.multiply.accumulate(
+            np.concatenate([[np.uint64(1)], np.full(n - 1, r_inv, np.uint64)])
+        )
+        prefix = np.concatenate(
+            [[np.uint64(0)], np.add.accumulate(cp.astype(np.uint64) * pw)]
+        )
+        return (prefix[ends] - prefix[starts]) * inv_pw[starts]
+
+
+def tokenize_batch_encoded(
+    texts: "pd.Series | list[str]", mode: str = "bigram"
+) -> tuple[np.ndarray, np.ndarray, list[str], np.ndarray]:
+    """Tokenize a batch → ``(row_idx, codes, uniq_terms, pos)``.
+
+    The index-build fast path: per-token Python strings are NEVER built.
+    Tokens are deduplicated at the codepoint level — key = (length,
+    first codepoint, two independent 64-bit polynomial hashes; collision
+    needs all four equal, ~2⁻¹²⁸) — and only each distinct term's string
+    is materialized (one slice per VOCAB entry, not per token).
+    ``codes`` index into ``uniq_terms``; code order is the dedup key
+    order, not lexicographic — callers must not rely on it.
+    """
+    if isinstance(texts, pd.Series):
+        texts = texts.tolist()
+    texts = ["" if t is None else t for t in texts]
+    r = _token_offsets(texts, mode)
+    if r is None:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), [],
+                np.empty(0, np.int64))
+    joined, cp, row_idx, tok_start, tok_end, pos = r
+    h1 = _segment_hashes(cp, tok_start, tok_end, _R1, _R1_INV)
+    h2 = _segment_hashes(cp, tok_start, tok_end, _R2, _R2_INV)
+    length = (tok_end - tok_start).astype(np.uint64)
+    first = cp[tok_start].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = (h1 + h2 * _R1 + length * _R2 + first * np.uint64(0x100000001B3))
+    # ONE int64 argsort (radix-friendly) instead of a structured-void
+    # comparison sort; runs of equal `mixed` are then VERIFIED against
+    # the full (h2, length, first) tuple — a disagreement (≈2⁻⁶⁴ per
+    # shard) falls back to the exact lexsort
+    order = np.argsort(mixed, kind="stable")
+    ms = mixed[order]
+    new_run = np.empty(len(ms), bool)
+    new_run[0] = True
+    new_run[1:] = ms[1:] != ms[:-1]
+    run_id = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    for arr in (h2, length, first):
+        a = arr[order]
+        if (np.maximum.reduceat(a, starts) != np.minimum.reduceat(a, starts)).any():
+            order = np.lexsort((h2, h1, first, length))
+            ks = np.stack([length, first, h1, h2])[:, order]
+            new_run[0] = True
+            new_run[1:] = (ks[:, 1:] != ks[:, :-1]).any(axis=0)
+            run_id = np.cumsum(new_run) - 1
+            starts = np.flatnonzero(new_run)
+            break
+    codes = np.empty(len(order), np.int64)
+    codes[order] = run_id
+    first_idx = order[starts]
+    uniq_terms = [
+        joined[tok_start[i] : tok_end[i]] for i in first_idx.tolist()
+    ]
+    return row_idx, codes, uniq_terms, pos
 
 
 def tokenize_str(text: str, mode: str = "bigram") -> list[tuple[str, int]]:

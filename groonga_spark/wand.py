@@ -37,12 +37,18 @@ from groonga_spark.score import bm25
 class TermPostings:
     """Decoded postings of one term within one segment."""
 
-    __slots__ = ("doc", "tf", "dl", "blocks", "decoded_mask", "df")
+    __slots__ = ("doc", "tf", "dl", "blocks", "decoded_mask", "df", "tomb")
 
-    def __init__(self, blocks: pd.DataFrame, df: float):
-        # blocks sorted by (block_id) == doc order (salts are contiguous)
-        self.blocks = blocks.sort_values("block_id").reset_index(drop=True)
+    def __init__(self, blocks: pd.DataFrame, df: float, tomb=None):
+        # sorted by (segment, block_id) == global doc order: segments own
+        # disjoint doc ranges, shards within a segment are contiguous, and
+        # block_id = shard<<24 | seq — so one TermPostings can span the
+        # whole index (driver-local path) or one shard (executor path)
+        self.blocks = blocks.sort_values(["segment", "block_id"]).reset_index(
+            drop=True
+        )
         self.df = df
+        self.tomb = tomb if tomb is not None and len(tomb) else None
         self.doc = None
         self.tf = None
         self.dl = None
@@ -73,29 +79,50 @@ class TermPostings:
         self.doc = _segmented_cumsum(deltas, nd)
         self.tf = vb_decode(b"".join(sub["tfs"])).astype(np.int64)
         self.dl = vb_decode(b"".join(sub["dls"])).astype(np.int64)
+        if self.tomb is not None:
+            # tombstone mask (LSM delete semantics): drop deleted docs at
+            # decode; stats stay as-built until compaction
+            keep = ~np.isin(self.doc, self.tomb, assume_unique=True)
+            if not keep.all():
+                self.doc = self.doc[keep]
+                self.tf = self.tf[keep]
+                self.dl = self.dl[keep]
 
-    def positions_for(self, doc_ids: np.ndarray) -> dict[int, np.ndarray]:
-        """doc_id → positions array, decoding only needed blocks."""
-        from groonga_spark.codec import decode_positions
-
-        out: dict[int, np.ndarray] = {}
+    def positions_arrays(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_rep, pos) parallel arrays over blocks overlapping doc_ids,
+        doc-major / position-minor sorted. All buffers of the surviving
+        blocks decode in ONE vb_decode each; the only per-block Python is
+        numpy slicing to split each block's [counts][deltas] stream."""
         lo = self.blocks["min_doc_id"].to_numpy()
         hi_arr = self.blocks["max_doc_id"].to_numpy()
-        for bi in range(len(self.blocks)):
-            sel = doc_ids[(doc_ids >= lo[bi]) & (doc_ids <= hi_arr[bi])]
-            if len(sel) == 0:
-                continue
-            row = self.blocks.iloc[bi]
-            nd = int(row["n_docs"])
-            deltas = vb_decode(row["doc_deltas"]).astype(np.int64)
-            docs = np.cumsum(deltas)
-            counts, flat = decode_positions(row["positions"], nd)
-            starts = np.cumsum(counts) - counts
-            ix = np.searchsorted(docs, sel)
-            for j, d in zip(ix.tolist(), sel.tolist()):
-                if j < nd and docs[j] == d:
-                    out[d] = flat[starts[j] : starts[j] + counts[j]]
-        return out
+        left = np.searchsorted(doc_ids, lo, side="left")
+        keep = (left < len(doc_ids)) & (
+            doc_ids[np.minimum(left, len(doc_ids) - 1)] <= hi_arr
+        )
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        sub = self.blocks.iloc[idx]
+        nd = sub["n_docs"].to_numpy(np.int64)
+        docs_all = _segmented_cumsum(
+            vb_decode(b"".join(sub["doc_deltas"])).astype(np.int64), nd
+        )
+        vals = vb_decode(b"".join(sub["positions"])).astype(np.int64)
+        counts_parts, delta_parts = [], []
+        p = 0
+        for n in nd.tolist():
+            cnt = vals[p : p + n]
+            p += n
+            ntok = int(cnt.sum())
+            delta_parts.append(vals[p : p + ntok])
+            p += ntok
+            counts_parts.append(cnt)
+        counts = np.concatenate(counts_parts)
+        deltas = np.concatenate(delta_parts)
+        # deltas reset to absolute at each doc start (postings.py) →
+        # per-doc segmented cumsum rebuilds absolute positions
+        pos_abs = _segmented_cumsum(deltas, counts)
+        return np.repeat(docs_all, counts), pos_abs
 
 
 def _score_arrays(tp: TermPostings, stats: dict) -> np.ndarray:
@@ -124,9 +151,10 @@ class SegmentQueryKernel:
         self.stats = stats
         self.k = k
         self.by_tid: dict[int, TermPostings] = {}
+        tomb = plan.get("tombstones")
         for tid, g in blocks.groupby("term_id"):
             df = plan["df_by_tid"][int(tid)]
-            self.by_tid[int(tid)] = TermPostings(g, df)
+            self.by_tid[int(tid)] = TermPostings(g, df, tomb)
 
     def _leaf_tokens(self, text: str) -> list[int] | None:
         """term text → its token term_ids (None if any token unknown)."""
@@ -178,24 +206,26 @@ class SegmentQueryKernel:
         cand, score = self._intersect_scored(tids)
         if len(cand) == 0:
             return cand, score
-        # positional adjacency: doc qualifies iff ∩_i (pos_i - i) nonempty
-        ok = np.ones(len(cand), bool)
-        pos_maps = [tp.positions_for(cand) for tp in tps]
-        for ci, d in enumerate(cand.tolist()):
-            acc = pos_maps[0].get(d)
-            if acc is None:
-                ok[ci] = False
-                continue
-            for i in range(1, len(tps)):
-                p = pos_maps[i].get(d)
-                if p is None:
-                    ok[ci] = False
-                    break
-                acc = np.intersect1d(acc, p - i, assume_unique=True)
-                if len(acc) == 0:
-                    ok[ci] = False
-                    break
-        return cand[ok], score[ok]
+        # positional adjacency, fully vectorized: encode (doc, pos − i) as
+        # one int64 key per occurrence of token i; a doc matches the
+        # phrase iff some key survives the intersection of all tokens'
+        # key sets (the reference's ngram-adjacency check without the
+        # per-doc loop). Positions are < 2^20 (docs are web pages), doc
+        # ids fit the remaining 43 bits.
+        KEY = np.int64(1) << np.int64(20)
+        acc = None
+        for i, tp in enumerate(tps):
+            rep, pos = tp.positions_arrays(cand)
+            sel = pos >= i
+            keys = rep[sel] * KEY + (pos[sel] - i)
+            acc = keys if acc is None else np.intersect1d(
+                acc, keys, assume_unique=True
+            )
+            if len(acc) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs_ok = np.unique(acc // KEY)
+        keep = np.isin(cand, docs_ok, assume_unique=True)
+        return cand[keep], score[keep]
 
     # --- boolean combinators ------------------------------------------------
 

@@ -1,0 +1,99 @@
+"""Incremental index maintenance: batch append (stale-segment rebuild)
+and Structured Streaming foreachBatch (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from groonga_spark.build import IndexStore, build_index
+from groonga_spark.search import FulltextIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _postings_rows(spark, path):
+    return (
+        spark.read.parquet(IndexStore(path).p("postings"))
+        .orderBy("term_id", "segment", "block_id")
+        .collect()
+    )
+
+
+def test_batch_append_rebuilds_stale_segment(spark, docs, tmp_path):
+    """Docs appended into a committed segment's id range must trigger a
+    rebuild of that segment; the result equals a from-scratch build."""
+    path = str(tmp_path / "idx_inc")
+    half = docs.filter(F.col("doc_id") < 250)   # segment 1 only partial
+    build_index(spark, half, path, mode="delimit", segment_size=200)
+
+    from groonga_spark.streaming import append_docs
+
+    append_docs(spark, docs, path, segment_size=200)
+
+    path2 = str(tmp_path / "idx_scratch")
+    build_index(spark, docs, path2, mode="delimit", segment_size=200)
+    assert _postings_rows(spark, path) == _postings_rows(spark, path2)
+
+    # lineage: exactly one committed row per segment (stale rows replaced)
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT segment, count(*) FROM
+            '{IndexStore(path).p("lineage")}/*.parquet'
+            WHERE status='committed' GROUP BY segment"""
+    ).fetchall()
+    assert all(n == 1 for _, n in rows)
+
+
+def test_append_is_noop_when_up_to_date(spark, docs, tmp_path):
+    path = str(tmp_path / "idx_noop")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    lineage_dir = IndexStore(path).p("lineage")
+    before = sorted(os.listdir(lineage_dir))
+
+    from groonga_spark.streaming import append_docs
+
+    append_docs(spark, docs, path, segment_size=200)
+    assert sorted(os.listdir(lineage_dir)) == before
+
+
+def test_stream_build_foreachbatch(spark, docs, tmp_path):
+    """File-source stream → foreachBatch incremental segments; final
+    index equals the batch build over the same docs."""
+    from groonga_spark.streaming import stream_build
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx_stream")
+    cp = str(tmp_path / "cp")
+
+    # stage the docs as two source files (two micro-batches at most)
+    docs.filter(F.col("doc_id") < 250).write.parquet(os.path.join(src, "a"))
+    docs.filter(F.col("doc_id") >= 250).write.parquet(os.path.join(src, "b"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream_build(stream, corpus, idx, cp, segment_size=200)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    built = FulltextIndex(spark, idx)
+    assert built.meta["n_docs"] == docs.count()
+
+    path2 = str(tmp_path / "idx_batch")
+    build_index(spark, docs, path2, mode="delimit", segment_size=200)
+    assert _postings_rows(spark, idx) == _postings_rows(spark, path2)

@@ -65,6 +65,20 @@ def test_match_counts(q, built, oracle):
     assert built.match_docs(q).count() == oracle.match_count(q)
 
 
+@pytest.mark.parametrize("q", ["spark merge", '"spark fast"', "table -scan"])
+def test_local_and_distributed_paths_identical(q, built):
+    """The driver-local search-head path and the per-(segment, shard)
+    cluster path run the same kernel — results must be identical."""
+    loc = [(r["doc_id"], r["score"]) for r in
+           built.search(q, 10, distributed=False).collect()]
+    dist = [(r["doc_id"], r["score"]) for r in
+            built.search(q, 10, distributed=True).collect()]
+    assert loc == dist
+    lc = {r["doc_id"] for r in built.match_docs(q, distributed=False).collect()}
+    dc = {r["doc_id"] for r in built.match_docs(q, distributed=True).collect()}
+    assert lc == dc
+
+
 def test_bigram_index_with_cjk_and_phrases(spark, tmp_path):
     """End-to-end over the pages-shaped corpus: html extraction + bigram
     tokenization + phrase adjacency (the reference's ngram query mode)."""
@@ -106,6 +120,66 @@ def test_bigram_index_with_cjk_and_phrases(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) <= 1e-6
+
+
+def test_prefix_search_matches_expanded_or(built):
+    """`sp*` ≡ OR over every lexicon term starting with 'sp' (the
+    PAT-trie predictive cursor as a plan-time rewrite)."""
+    import pyarrow.dataset as ds
+
+    terms = sorted(
+        ds.dataset(built.store.p("lexicon"), format="parquet")
+        .to_table(columns=["term"]).column("term").to_pylist()
+    )
+    sp = [t for t in terms if t.startswith("s")]
+    assert len(sp) >= 2
+    got = [(r["doc_id"], r["score"]) for r in built.search("s*", 10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            built.search(" OR ".join(sp), 10).collect()]
+    assert got == want
+    assert built.match_docs("zzzznope*").count() == 0
+
+
+def test_query_expansion(built):
+    """query_expand: term → OR(term, synonyms...)."""
+    got = built.search("spark", 10, expansions={"spark": ["merge"]}).collect()
+    want = built.search("spark OR merge", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_delete_tombstones(spark, corpus, tmp_path):
+    """delete → tombstoned docs vanish from all query paths; surviving
+    docs keep their as-built scores (LSM semantics: stats drift until
+    compaction)."""
+    docs, _ = corpus
+    path = str(tmp_path / "idx_del")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    before = [(r["doc_id"], r["score"]) for r in idx.search("spark merge", 10).collect()]
+    victims = [before[0][0], before[3][0]]
+    n_before = idx.match_docs("spark").count()
+
+    idx.delete_docs(victims)
+    after = [(r["doc_id"], r["score"]) for r in idx.search("spark merge", 10).collect()]
+    assert victims[0] not in [d for d, _ in after]
+    assert victims[1] not in [d for d, _ in after]
+    # survivors keep identical scores and relative order
+    want = [x for x in before if x[0] not in victims]
+    assert after[: len(want)] == want
+
+    assert idx.match_docs("spark").count() <= n_before
+    # distributed path honors tombstones too
+    dd = {r["doc_id"] for r in idx.search("spark merge", 10, distributed=True).collect()}
+    assert not (set(victims) & dd)
+
+    # a fresh handle sees the tombstones (metadata is durable)
+    idx2 = FulltextIndex(spark, path)
+    assert victims[0] not in {
+        r["doc_id"] for r in idx2.search("spark merge", 10).collect()
+    }
 
 
 def test_merge_determinism_across_parallelism(spark, corpus, tmp_path):

@@ -1,0 +1,143 @@
+"""The `select` pipeline surface: script-syntax translation, dynamic
+columns + window functions, drilldowns (labeled/multi/calc), slices,
+sort/offset/limit, adjuster, match escalation (SURVEY.md §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from groonga_spark.select import script_to_sql, select
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.mark.parametrize("expr,sql", [
+    ('lang == "en" && n_chars > 10', 'lang = "en" AND n_chars > 10'),
+    ('a == 1 || !(b == 2)', "a = 1 OR NOT (b = 2)"),
+    ('text @ "spark"', "contains(text, 'spark')"),
+    ('text @^ "sp"', "startswith(text, 'sp')"),
+    ('text @$ "rk"', "endswith(text, 'rk')"),
+    ('text @~ "s.k"', "(text RLIKE 's.k')"),
+    ("all_records()", "true"),
+])
+def test_script_to_sql(expr, sql):
+    assert " ".join(script_to_sql(expr).split()) == sql
+
+
+def test_filter_sort_offset_limit(spark, docs):
+    res = select(
+        docs,
+        filter='lang == "en" && n_chars > 300',
+        sort_keys="-n_chars,doc_id",
+        offset=2,
+        limit=5,
+        output_columns=["doc_id", "n_chars"],
+    )
+    rows = res.hits.collect()
+    want = (
+        docs.filter("lang = 'en' AND n_chars > 300")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .collect()
+    )
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want[2:7]]
+    assert res.n_hits == len(want)
+
+
+def test_labeled_drilldowns_and_having(spark, docs):
+    res = select(
+        docs,
+        limit=0,
+        drilldowns={
+            "langs": {"keys": "lang", "filter": "_nsubrecs > 50",
+                      "sort_keys": "-_nsubrecs", "limit": 2},
+        },
+    )
+    got = res.drilldowns["langs"].collect()
+    want = (
+        docs.groupBy("lang").count().filter("count > 50")
+        .orderBy(F.desc("count")).limit(2).collect()
+    )
+    assert [(r["_key"], r["_nsubrecs"]) for r in got] == [
+        (r["lang"], r["count"]) for r in want
+    ]
+
+
+def test_dynamic_column_window(spark, docs):
+    res = select(
+        docs,
+        limit=-1,
+        columns={
+            "rn": {
+                "stage": "initial",
+                "value": "record_number()",
+                "window": {"group_keys": ["lang"], "sort_keys": ["doc_id"]},
+            }
+        },
+        filter="rn == 1",
+        output_columns=["doc_id", "lang", "rn"],
+    )
+    got = {r["lang"]: r["doc_id"] for r in res.hits.collect()}
+    want = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert got == want
+
+
+def test_slices(spark, docs):
+    res = select(docs, filter="n_chars > 100", limit=0,
+                 slices={"en": {"filter": 'lang == "en"', "limit": 3,
+                                "sort_keys": "doc_id"}})
+    rows = res.slices["en"].collect()
+    want = (docs.filter("n_chars > 100 AND lang = 'en'")
+            .orderBy("doc_id").limit(3).collect())
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+
+
+def test_query_with_index_and_adjuster(spark, docs, tmp_path):
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    path = str(tmp_path / "idx_sel")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    res = select(
+        docs, index=idx, query="spark",
+        adjuster=[("fast", 2.0)],
+        sort_keys="-_score,_id", limit=5,
+        output_columns=["doc_id", "_score"],
+    )
+    rows = [(r["doc_id"], r["_score"]) for r in res.hits.collect()]
+
+    base = {r["doc_id"]: r["score"] for r in idx.match_docs("spark").collect()}
+    boost = {r["doc_id"]: r["score"] for r in idx.match_docs("fast").collect()}
+    want = sorted(
+        ((d, s + 2.0 * boost.get(d, 0.0)) for d, s in base.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(rows, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_match_escalation(spark, docs, tmp_path):
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    path = str(tmp_path / "idx_esc")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    # a term absent from the lexicon → 0 hits → escalates to prefix OR
+    res = select(docs, index=idx, query="spar",
+                 match_escalation_threshold=0, limit=-1,
+                 output_columns=["doc_id"])
+    n_prefix = idx.match_docs("spar*").count()
+    assert res.n_hits == n_prefix > 0
