@@ -250,6 +250,16 @@ def q_anti_join(spark, sf):
     )
 
 
+def q_in_records(spark, sf):
+    """in_records: per-column-mode record-set membership (§2.2)."""
+    from groonga_spark.relations import in_records
+
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier").filter(F.col("s_acctbal") > 4000)
+    out = in_records(li, sup, [("l_suppkey", "==", "s_suppkey")])
+    return out.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+
+
 def q_time_classify_day(spark, sf):
     from groonga_spark.functions import time_classify
 
@@ -555,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_traversal": q_ref_traversal,
         "sub_filter": q_sub_filter,
         "anti_join": q_anti_join,
+        "in_records": q_in_records,
         "time_classify_day": q_time_classify_day,
         "window_latest_event": q_window_latest_event,
         "between_in": q_between_in,
@@ -831,6 +842,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey)""",
+        "in_records": """
+            SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM supplier
+                          WHERE s_suppkey = l_suppkey AND s_acctbal > 4000)
+            GROUP BY l_returnflag""",
         "time_classify_day": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    count(*)::BIGINT AS cnt

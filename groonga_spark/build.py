@@ -48,7 +48,6 @@ prod — same schemas, see SURVEY.md §1.3):
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from dataclasses import dataclass

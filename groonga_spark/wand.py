@@ -68,25 +68,42 @@ class TermPostings:
         self._decode(np.flatnonzero(keep))
 
     def _decode(self, idx: np.ndarray) -> None:
+        self.doc, self.tf, self.dl = self.decode_idx(idx)
+
+    def decode_idx(self, idx: np.ndarray):
+        """Decode the given block rows → (doc, tf, dl) arrays. Blocks are
+        independent (deltas reset per block), so idx order is free."""
         if len(idx) == 0:
-            self.doc = np.empty(0, np.int64)
-            self.tf = np.empty(0, np.int64)
-            self.dl = np.empty(0, np.int64)
-            return
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64))
         sub = self.blocks.iloc[idx]
         nd = sub["n_docs"].to_numpy(np.int64)
         deltas = vb_decode(b"".join(sub["doc_deltas"])).astype(np.int64)
-        self.doc = _segmented_cumsum(deltas, nd)
-        self.tf = vb_decode(b"".join(sub["tfs"])).astype(np.int64)
-        self.dl = vb_decode(b"".join(sub["dls"])).astype(np.int64)
+        doc = _segmented_cumsum(deltas, nd)
+        tf = vb_decode(b"".join(sub["tfs"])).astype(np.int64)
+        dl = vb_decode(b"".join(sub["dls"])).astype(np.int64)
         if self.tomb is not None:
             # tombstone mask (LSM delete semantics): drop deleted docs at
             # decode; stats stay as-built until compaction
-            keep = ~np.isin(self.doc, self.tomb, assume_unique=True)
+            keep = ~np.isin(doc, self.tomb, assume_unique=True)
             if not keep.all():
-                self.doc = self.doc[keep]
-                self.tf = self.tf[keep]
-                self.dl = self.dl[keep]
+                doc, tf, dl = doc[keep], tf[keep], dl[keep]
+        return doc, tf, dl
+
+    def block_bounds(self, stats: dict) -> np.ndarray:
+        """Block-max WAND upper bounds from stored (max_tf, min_dl) + df —
+        computed at query time so they survive incremental stat drift;
+        ×(1+1e-9) keeps them strict upper bounds under float rounding."""
+        import math
+
+        max_tf = self.blocks["max_tf"].to_numpy(np.float64)
+        min_dl = self.blocks["min_dl"].to_numpy(np.float64)
+        k1, b = stats["k1"], stats["b"]
+        idf = math.log(
+            1.0 + (stats["n_docs"] - self.df + 0.5) / (self.df + 0.5)
+        )
+        denom = max_tf + k1 * (1.0 - b + b * min_dl / stats["avgdl"])
+        return idf * max_tf / denom * (1.0 + 1e-9)
 
     def positions_arrays(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(doc_rep, pos) parallel arrays over blocks overlapping doc_ids,
@@ -327,7 +344,41 @@ class SegmentQueryKernel:
             doc, score = merged, ms
         return doc, score
 
+    def _topk_single_pruned(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max WAND for a single-term top-k: decode blocks in
+        descending upper-bound order, stop once the running kth score
+        strictly exceeds every remaining block's bound. Strict comparison
+        + the bounds' float headroom keep results identical to the
+        exhaustive path, ties and all."""
+        tp = self.by_tid.get(tid)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if tp is None:
+            return empty
+        ub = tp.block_bounds(self.stats)
+        order = np.argsort(-ub, kind="stable")
+        CHUNK = 64
+        doc = np.empty(0, np.int64)
+        score = np.empty(0, np.float64)
+        for i in range(0, len(order), CHUNK):
+            if len(doc) >= self.k and score[-1] > ub[order[i]]:
+                break  # kth best beats every remaining bound
+            idx = order[i : i + CHUNK]
+            d, tf, dl = tp.decode_idx(idx)
+            s = bm25(tf, dl, tp.df, self.stats["n_docs"], self.stats["avgdl"],
+                     self.stats["k1"], self.stats["b"])
+            doc = np.concatenate([doc, d])
+            score = np.concatenate([score, s])
+            if len(doc) >= self.k:
+                # keep (doc, score) sorted desc so score[-1] IS the kth
+                doc, score = _topk(doc, score, self.k)
+        return _topk(doc, score, self.k)
+
     def run(self, ast) -> tuple[np.ndarray, np.ndarray]:
+        # single-token leaf at the root → block-max WAND pruned path
+        if isinstance(ast, (Term, Phrase)):
+            tids = self._leaf_tokens(ast.text)
+            if tids is not None and len(tids) == 1:
+                return self._topk_single_pruned(tids[0])
         doc, score = self.eval(ast)
         if len(doc) == 0:
             return doc, score

