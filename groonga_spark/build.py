@@ -155,7 +155,12 @@ def assign_dense_ids(
 
     out = d.mapInPandas(_attach, schema=out_schema)
     if with_count:
-        return out, acc - start
+        # also hand back the persisted intermediate: callers MUST
+        # unpersist it when done — Spark's CacheManager substitutes
+        # cached data into ANY later plan that matches, so a leaked cache
+        # silently serves stale data if the source files are rewritten
+        # (e.g. compaction re-finalizing the same paths)
+        return out, acc - start, d
     return out
 
 
@@ -446,7 +451,9 @@ def finalize_index(
     lex = blocks.filter(F.col("term") != "").groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    lex, n_terms = assign_dense_ids(lex, "term", "term_id", with_count=True)
+    lex, n_terms, _lex_cached = assign_dense_ids(
+        lex, "term", "term_id", with_count=True
+    )
     lex.write.mode("overwrite").parquet(store.p("lexicon"))
     # the write materialized through assign_dense_ids' persist — reuse it
     # for the join below instead of re-reading
@@ -532,6 +539,7 @@ def finalize_index(
     final.write.mode("overwrite").parquet(store.p("postings"))
     _doc_map_fut.result()
     _pool.shutdown()
+    _lex_cached.unpersist()
 
     totals = (srow[2], srow[3])
 
@@ -552,6 +560,89 @@ def finalize_index(
     }
     store.write_meta(meta)
     return meta
+
+
+# --------------------------------------------------------------------------
+# compaction (apply tombstones permanently)
+# --------------------------------------------------------------------------
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Fold tombstones into the segment partials and re-finalize.
+
+    The LSM compaction step: deleted docs leave the posting blocks and
+    doc stats for good, corpus stats (N, avgdl, df) refresh, and the
+    tombstone set resets. Segments stay the single source of truth —
+    query results after compaction differ from tombstone-masked results
+    only in SCORES (stats moved), exactly the reference's post-delete
+    behavior [G: lib/ii.c · grn_ii_column_update on delete].
+    """
+    import shutil as _shutil
+
+    store = IndexStore(path)
+    meta = store.read_meta()
+    tomb_dir = store.p("tombstones")
+    if not os.path.isdir(tomb_dir) or not os.listdir(tomb_dir):
+        return meta  # nothing to do
+    import pyarrow.dataset as ds
+
+    tomb = np.unique(np.asarray(
+        ds.dataset(tomb_dir, format="parquet").to_table()
+        .column("doc_id").to_pylist(), np.int64))
+    b_tomb = spark.sparkContext.broadcast(tomb)
+
+    seg_root = store.p("segments")
+    for d in sorted(os.listdir(seg_root), key=int):
+        seg_dir = os.path.join(seg_root, d)
+        tmp_dir = seg_dir + ".compact"
+
+        def _filter(it):
+            from groonga_spark.postings import filter_blocks
+
+            for pdf in it:
+                out = filter_blocks(pdf, b_tomb.value)
+                if len(out):
+                    yield out
+
+        (
+            spark.read.parquet(seg_dir)
+            .mapInPandas(_filter, schema=BLOCK_SCHEMA)
+            .write.mode("overwrite").parquet(tmp_dir)
+        )
+        _shutil.rmtree(seg_dir)
+        os.replace(tmp_dir, seg_dir)
+
+        # refresh the segment's lineage metrics (replace its rows)
+        import glob as _glob
+
+        for f in _glob.glob(store.p("lineage", f"part-{int(d):05d}-*")):
+            os.remove(f)
+        import duckdb
+
+        _con = duckdb.connect()
+        m = _con.sql(
+            f"""SELECT coalesce(sum(CASE WHEN term =  '' THEN n_docs END), 0),
+                       coalesce(sum(CASE WHEN term <> '' THEN n_docs END), 0),
+                       coalesce(sum(octet_length(doc_deltas)
+                                    + octet_length(tfs) + octet_length(dls)
+                                    + octet_length(positions)), 0),
+                       coalesce(sum(CASE WHEN term = '' THEN sum_tf END), 0)
+                FROM '{seg_dir}/*.parquet'"""
+        ).fetchone()
+        _con.close()
+        _append_lineage(store, {
+            "segment": int(d), "status": "committed",
+            "docs_tokenized": int(m[0]), "postings_emitted": int(m[1]),
+            "bytes_compressed": int(m[2]), "dl_sum": int(m[3]),
+            "started_at": time.time(), "finished_at": time.time(),
+        })
+
+    out = finalize_index(
+        spark, store, meta["tokenizer_mode"], k1=meta["k1"], b=meta["b"],
+        segment_size=meta["segment_size"],
+        shard_size=meta.get("shard_size", DEFAULT_SHARD_SIZE),
+    )
+    _shutil.rmtree(tomb_dir)
+    return out
 
 
 # --------------------------------------------------------------------------

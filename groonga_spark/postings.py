@@ -203,6 +203,76 @@ def encode_partition(pdf: pd.DataFrame, segment: int,
     return out
 
 
+def filter_blocks(pdf: pd.DataFrame, tomb: np.ndarray) -> pd.DataFrame:
+    """Rewrite block rows dropping tombstoned doc ids (compaction).
+
+    Handles both posting blocks and "" marker rows. Blocks whose docs all
+    survive pass through untouched; emptied blocks are dropped. A
+    maintenance kernel: per-block Python loop with numpy inside (not a
+    query-path hot loop).
+    """
+    from groonga_spark.codec import decode_positions, vb_encode
+
+    out_rows = []
+    for _, row in pdf.iterrows():
+        nd = int(row["n_docs"])
+        docs = np.cumsum(vb_decode(row["doc_deltas"]).astype(np.int64))
+        keep = ~np.isin(docs, tomb, assume_unique=True)
+        if keep.all():
+            out_rows.append(row)
+            continue
+        if not keep.any():
+            continue
+        kd = docs[keep]
+        tfs = vb_decode(row["tfs"]).astype(np.int64) if len(row["tfs"]) else np.empty(0, np.int64)
+        dls = vb_decode(row["dls"]).astype(np.int64)
+        is_marker = row["term"] == ""
+        if is_marker:
+            ktf = tfs  # markers carry no tf stream
+            kdl = dls[keep]
+        else:
+            ktf = tfs[keep]
+            kdl = dls[keep]
+        deltas = np.diff(kd, prepend=np.int64(0))
+        deltas[0] = kd[0]
+        new = row.copy()
+        new["n_docs"] = len(kd)
+        new["min_doc_id"] = int(kd.min())
+        new["max_doc_id"] = int(kd.max())
+        new["doc_deltas"] = vb_encode(deltas.astype(np.uint64))
+        new["dls"] = vb_encode(kdl.astype(np.uint64))
+        if is_marker:
+            new["sum_tf"] = int(kdl.sum())
+            new["min_dl"] = int(kdl.min()) if len(kdl) else 0
+        else:
+            new["tfs"] = vb_encode(ktf.astype(np.uint64))
+            new["max_tf"] = int(ktf.max())
+            new["min_dl"] = int(kdl.min())
+            new["sum_tf"] = int(ktf.sum())
+            # positions: keep surviving docs' per-doc position runs
+            counts, flat = decode_positions(row["positions"], nd)
+            starts = np.cumsum(counts) - counts
+            parts = [
+                flat[starts[i]: starts[i] + counts[i]]
+                for i in np.flatnonzero(keep).tolist()
+            ]
+            kcounts = counts[keep]
+            kflat = (np.concatenate(parts) if parts
+                     else np.empty(0, np.int64)).astype(np.int64)
+            pdeltas = np.diff(kflat, prepend=np.int64(0))
+            pstarts = np.cumsum(kcounts) - kcounts
+            pdeltas[pstarts] = kflat[pstarts]
+            # stream layout: [tf per doc ...][pos deltas ...]
+            stream = np.concatenate(
+                [kcounts.astype(np.uint64), pdeltas.astype(np.uint64)]
+            )
+            new["positions"] = vb_encode(stream)
+        out_rows.append(new)
+    if not out_rows:
+        return pd.DataFrame({c: [] for c in BLOCK_COLUMNS})
+    return pd.DataFrame(out_rows)[BLOCK_COLUMNS]
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block row → (doc_ids, tfs, dls). Test/oracle helper;
     the query kernel (wand.py) batch-decodes many blocks at once."""

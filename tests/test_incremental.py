@@ -65,6 +65,44 @@ def test_append_is_noop_when_up_to_date(spark, docs, tmp_path):
     assert sorted(os.listdir(lineage_dir)) == before
 
 
+def test_compaction_applies_tombstones(spark, docs, tmp_path):
+    """compact_index: tombstoned docs leave the index permanently, the
+    result equals a from-scratch build over the surviving corpus."""
+    from pyspark.sql import functions as F
+
+    from groonga_spark.build import compact_index
+
+    path = str(tmp_path / "idx_cmp")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+    victims = [r["doc_id"] for r in idx.search("spark", 3).collect()]
+    idx.delete_docs(victims)
+    compact_index(spark, path)
+
+    path2 = str(tmp_path / "idx_ref")
+    build_index(spark, docs.filter(~F.col("doc_id").isin(victims)), path2,
+                mode="delimit", segment_size=200)
+    idx_c = FulltextIndex(spark, path)
+    idx_r = FulltextIndex(spark, path2)
+    # block BOUNDARIES legitimately differ (holes punched vs never
+    # existed); the logical index must agree: lexicon, stats, results
+    lex_c = {(r["term"], r["df"], r["cf"], r["term_id"])
+             for r in spark.read.parquet(idx_c.store.p("lexicon")).collect()}
+    lex_r = {(r["term"], r["df"], r["cf"], r["term_id"])
+             for r in spark.read.parquet(idx_r.store.p("lexicon")).collect()}
+    assert lex_c == lex_r
+    for k in ("n_docs", "avgdl", "n_terms", "postings_total"):
+        assert idx_c.meta[k] == idx_r.meta[k], k
+    for q in ["spark", "spark merge", '"spark fast"']:
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in idx_c.search(q, 10).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in idx_r.search(q, 10).collect()]
+        assert got == want, q
+    assert not (set(victims)
+                & {r["doc_id"] for r in idx_c.match_docs("spark").collect()})
+
+
 def test_stream_build_foreachbatch(spark, docs, tmp_path):
     """File-source stream → foreachBatch incremental segments; final
     index equals the batch build over the same docs."""
