@@ -61,46 +61,11 @@ from pyspark.sql import functions as F
 from groonga_spark import score as score_mod
 from groonga_spark.normalize import NORMALIZER_VERSION, normalize_series
 from groonga_spark.postings import BLOCK_SCHEMA, encode_partition
-from groonga_spark.tokenize import tokenize_batch, tokenize_batch_encoded
+from groonga_spark.tokenize import tokenize_batch_encoded
 
 DEFAULT_SEGMENT_SIZE = 1 << 20          # docs per segment
 DEFAULT_SHARD_SIZE = 2048               # docs per shard (fixed per index)
 SALT_TARGET = 50_000                    # retained for API compat (unused)
-
-
-# --------------------------------------------------------------------------
-# tokenize stage
-# --------------------------------------------------------------------------
-
-def tokens_df(docs: DataFrame, mode: str, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(doc_id, text) → exploded (doc_id, term, pos, dl) token stream.
-
-    One mapInPandas pass: normalization + tokenization + per-doc length,
-    all numpy/pandas-vectorized (tokenize.py). ``dl`` (doc token count)
-    rides along on every row so the posting encoder never needs a
-    doc-length join.
-    """
-
-    def _tok(it):
-        for pdf in it:
-            texts = normalize_series(pdf[text_col])
-            rows, terms, pos = tokenize_batch(texts, mode)
-            if len(rows) == 0:
-                continue
-            counts = np.bincount(rows, minlength=len(pdf)).astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy()[rows],
-                    "term": terms,
-                    "pos": pos,
-                    "dl": counts[rows],
-                }
-            )
-
-    return docs.select(id_col, text_col).mapInPandas(
-        _tok, schema="doc_id long, term string, pos long, dl long"
-    )
 
 
 # --------------------------------------------------------------------------

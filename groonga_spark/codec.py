@@ -53,7 +53,12 @@ def vb_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.empty(0, np.uint64)
-    last = (b & 0x80) == 0
+    cont = b & 0x80
+    if not cont.any():
+        # all values < 128 (typical for tf/doclen/position-delta streams)
+        # → bytes ARE the values; skip the group arithmetic entirely
+        return b.astype(np.uint64)
+    last = cont == 0
     ends = np.flatnonzero(last)
     starts = np.concatenate([np.array([0], np.int64), ends[:-1] + 1])
     group_len = ends - starts + 1
