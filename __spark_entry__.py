@@ -54,7 +54,19 @@ def _index(spark: SparkSession, sf_dir: str):
         tempfile.gettempdir(),
         "gs_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
     )
-    if not os.path.exists(os.path.join(path, "meta.json")):
+    stale = True
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            m = _json.load(f)
+        # rebuild when the on-disk index predates the current format
+        stale = not (m.get("format_version") == 1 and "shard_size" in m)
+    if stale:
+        import shutil as _shutil
+
+        _shutil.rmtree(path, ignore_errors=True)
         docs = _t(spark, sf_dir, "documents")
         build_index(spark, docs, path, mode="delimit")
     idx = FulltextIndex(spark, path)
