@@ -227,12 +227,19 @@ class SegmentQueryKernel:
         # one int64 key per occurrence of token i; a doc matches the
         # phrase iff some key survives the intersection of all tokens'
         # key sets (the reference's ngram-adjacency check without the
-        # per-doc loop). Positions are < 2^20 (docs are web pages), doc
-        # ids fit the remaining 43 bits.
-        KEY = np.int64(1) << np.int64(20)
-        acc = None
+        # per-doc loop). The position field is sized from the actual max
+        # position (≥20 bits), so pathological million-token docs can't
+        # alias keys; doc ids use the remaining bits.
+        arrays = []
+        max_pos = 0
         for i, tp in enumerate(tps):
             rep, pos = tp.positions_arrays(cand)
+            arrays.append((i, rep, pos))
+            if len(pos):
+                max_pos = max(max_pos, int(pos.max()))
+        KEY = np.int64(1) << np.int64(max(20, max_pos.bit_length() + 1))
+        acc = None
+        for i, rep, pos in arrays:
             sel = pos >= i
             keys = rep[sel] * KEY + (pos[sel] - i)
             acc = keys if acc is None else np.intersect1d(
