@@ -528,6 +528,61 @@ def q_multimodal_frames(spark, sf):
     )
 
 
+def q_curation(spark, sf):
+    """End-to-end corpus curation: exact dedup → quality filter →
+    MinHash-LSH + Jaccard-confirmed near-dup removal (pipeline.py)."""
+    from groonga_spark.pipeline import curate_corpus
+
+    curated, _ = curate_corpus(_t(spark, sf, "documents"), min_quality=0.2,
+                               near_dup_threshold=0.8)
+    return curated.select("doc_id")
+
+
+def _curation_sql() -> str:
+    """Oracle for q_curation: survivor-by-fingerprint ∧ quality ≥ 0.2,
+    minus the higher id of every LSH-candidate pair whose exact shingle
+    Jaccard ≥ 0.8 (computed over the filtered corpus, like the op)."""
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(16)
+    )
+    bands = "\n UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', h{4*b}, h{4*b+1},"
+        f" h{4*b+2}, h{4*b+3})) AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH stats AS ({_token_stats_sql()}),
+keep AS (
+  SELECT s.doc_id FROM stats s
+  JOIN (SELECT fingerprint, min(doc_id) AS keep_id FROM stats
+        GROUP BY fingerprint) g
+    ON s.fingerprint = g.fingerprint AND s.doc_id = g.keep_id
+  WHERE s.quality >= 0.2),
+base AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+w AS (SELECT doc_id, string_split(text,' ') AS w FROM base),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(len(w) - 2),
+                     i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+       FROM w WHERE len(w) >= 3),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+          GROUP BY c.d1, c.d2),
+losers AS (SELECT DISTINCT d2 FROM inter
+           JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE i / (x.n + y.n - i) >= 0.8)
+SELECT doc_id FROM keep WHERE doc_id NOT IN (SELECT d2 FROM losers)
+"""
+
+
 # -- rows-only checks (non-SQL-expressible: WAND internals, LSH-ANN, lineage)
 
 def q_ann_lsh(spark, sf):
@@ -605,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "curation": q_curation,
         # rows-only (no oracle entry)
         "ann_lsh": q_ann_lsh,
         "index_lineage": q_index_lineage,
@@ -930,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, octet_length(text::BLOB)::BIGINT
                    AS n_bytes, md5(text) AS payload_md5
             FROM documents""",
+        "curation": _curation_sql(),
         "multimodal_frames": """
             WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS n
                        FROM documents)
