@@ -20,7 +20,7 @@ Stage 1 (per segment, checkpointed — the resume unit):
 
 Stage 2 (finalize — the multi-way segment merge):
   all block partials → lexicon (term → deterministic dense term_id) →
-  attach term_id + df + exact block_max_score → final ``postings/``
+  attach term_id + df → final ``postings/``
   range-partitioned and sorted by (term_id, block_id) (parquet
   row-group pruning ≈ the PAT-trie seek); ``doc_map/`` decoded from the
   marker rows. Shards are doc-contiguous and disjoint, so a term's

@@ -14,7 +14,7 @@ Block layout (one parquet row per block; see build.py):
   128 postings per block; per block three varbyte streams (doc deltas,
   tfs, doclens) plus an optional positions stream, and skip metadata
   (``min_doc_id``/``max_doc_id`` — the seek index) and block-max stats
-  (``block_max_tf``, ``block_min_dl``, ``block_max_score``) enabling
+  (``max_tf``, ``min_dl``) from which the query kernel derives
   block-max WAND pruning — strictly stronger than the reference's
   first-rid-only chunk info.
 """

@@ -184,7 +184,11 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         "n_in_bucket", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("n_in_bucket") <= max_bucket).drop("n_in_bucket")
     # persist: both sides of the self-join read this; without it the whole
-    # shingle→signature pipeline (16 md5 min-aggs) executes twice
+    # shingle→signature pipeline (16 md5 min-aggs) executes twice.
+    # (Session-lifetime cache: if the INPUT files are rewritten in place
+    # mid-session, Spark's plan-matching cache substitution would serve
+    # stale buckets — re-create the session or clearCache() after
+    # rewriting a corpus in place.)
     sized = sized.persist()
     a, b = sized.alias("a"), sized.alias("b")
     return (

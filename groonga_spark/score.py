@@ -52,7 +52,7 @@ def block_upper_bound(
     b: float = B_DEFAULT,
 ) -> float:
     """Upper bound of any member score of a block (monotone in tf, anti-
-    monotone in dl) — used when stored block_max_score is stale (global
-    stats moved after an incremental append)."""
+    monotone in dl) — the block-max WAND bound, derived at query time
+    from stored (max_tf, min_dl) so it stays valid as global stats move."""
     denom = max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
     return idf(df, n_docs) * max_tf / denom

@@ -10,7 +10,7 @@ grn_table_sort], this kernel prunes with the skip-block metadata:
   grn_ii_estimate_size — same rarest-first idea], other terms decode ONLY
   blocks whose [min_doc_id, max_doc_id] overlap surviving candidates
   (searchsorted range pruning — the skip-list seek);
-- single-term / OR tails: blocks processed in block_max_score order with
+- single-term top-k: blocks processed in descending upper-bound order with
   a top-k threshold early-exit (block-max pruning);
 - phrase: positional adjacency via intersect of (pos - offset) arrays
   (the reference's ngram-adjacency check in token_info chaining);
