@@ -68,3 +68,15 @@ def test_slice_blocks():
     assert codec.slice_blocks(128) == [(0, 128)]
     assert codec.slice_blocks(129) == [(0, 128), (128, 129)]
     assert codec.slice_blocks(300, 128) == [(0, 128), (128, 256), (256, 300)]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=127), min_size=1, max_size=200)
+)
+def test_vb_single_byte_fast_path_property(vals):
+    """All-small values take the bytes-are-values fast path; round trip
+    must equal the general path's result."""
+    arr = np.array(vals, dtype=np.uint64)
+    buf = codec.vb_encode(arr)
+    assert len(buf) == len(arr)  # single byte each → fast path eligible
+    assert np.array_equal(codec.vb_decode(buf), arr)

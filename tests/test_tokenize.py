@@ -71,3 +71,35 @@ def test_positions_sequential_per_doc():
     for d in np.unique(rows):
         p = pos[rows == d]
         assert p.tolist() == list(range(len(p)))
+
+
+def test_encoded_tokenizer_equivalence_property():
+    """tokenize_batch_encoded must reproduce tokenize_batch exactly —
+    hash-dedup (2×64-bit polynomial hashes) may never merge distinct
+    tokens or split equal ones. Random unicode incl. CJK, digits,
+    symbols, combining chars."""
+    import unicodedata
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from groonga_spark.tokenize import tokenize_batch, tokenize_batch_encoded
+
+    alphabet = st.sampled_from(
+        list("abcxyz012 .,!狗日本語処理検索ΩΔ中文字") + ["́", "゙"]
+    )
+    texts_strategy = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts_strategy, st.sampled_from(["bigram", "delimit"]))
+    def check(texts, mode):
+        norm = [unicodedata.normalize("NFKC", t).lower() for t in texts]
+        r1, terms, p1 = tokenize_batch(norm, mode)
+        r2, codes, uniq, p2 = tokenize_batch_encoded(norm, mode)
+        assert (r1 == r2).all() and (p1 == p2).all()
+        assert [uniq[c] for c in codes.tolist()] == terms
+
+    check()
