@@ -140,15 +140,33 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     Hash family i = md5("i|" + shingle); the signature component is the
     lexicographic min — string order on hex == numeric order on the hash,
     so this is standard MinHash with a portable, engine-independent hash.
-    One groupBy(doc_id) with H min-aggregates: a single shuffle, map-side
-    combined, signature width H × 32 bytes per doc.
+    Computed entirely with array higher-order functions
+    (array_min ∘ transform over the per-doc shingle set): a NARROW map —
+    zero shuffles until the LSH band self-join. Docs with no shingles
+    (fewer than n tokens) carry no signature, like an empty set.
     """
-    sh = shingles(docs, n, text_col, id_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "),
+        )),
+    ).otherwise(F.array().cast("array<string>"))
+    def _hasher(i):
+        # single-arg lambda on purpose (2-arg = (element, index) to Spark)
+        return lambda g: F.md5(F.concat(F.lit(f"{i}|"), g))
+
+    cols = [F.col(id_col).alias("doc_id")]
+    for i in range(num_hashes):
+        cols.append(
+            F.array_min(F.transform(F.col("_grams"), _hasher(i))).alias(f"h{i}")
+        )
+    return (
+        docs.withColumn("_grams", grams)
+        .filter(F.size("_grams") > 0)
+        .select(*cols)
+    )
 
 
 def lsh_band_buckets(sig: DataFrame, bands: int = 4,
