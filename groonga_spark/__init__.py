@@ -16,6 +16,32 @@ was empty at survey time — SURVEY.md §0); they identify the capability
 being re-expressed, not code that was copied.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from groonga_spark.session import get_spark  # noqa: F401
+
+__all__ = [
+    "get_spark",
+    # lazy-imported public surface (heavy deps load on first use):
+    # build_index, compact_index, FulltextIndex, select, curate_corpus
+]
+
+
+def __getattr__(name):  # PEP 562 lazy exports
+    if name in ("build_index", "compact_index", "prepare_pages"):
+        from groonga_spark import build
+
+        return getattr(build, name)
+    if name == "FulltextIndex":
+        from groonga_spark.search import FulltextIndex
+
+        return FulltextIndex
+    if name == "select":
+        from groonga_spark.select import select
+
+        return select
+    if name == "curate_corpus":
+        from groonga_spark.pipeline import curate_corpus
+
+        return curate_corpus
+    raise AttributeError(name)
