@@ -32,7 +32,19 @@ from pyspark.sql import functions as F
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 
+_SHIPPED: set[str] = set()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # ship the engine zip to executors once per session: some operators'
+    # pandas UDFs reference module-level groonga_spark functions, which
+    # pickle by reference and must be importable in the Python workers
+    app = spark.sparkContext.applicationId
+    if app not in _SHIPPED:
+        from groonga_spark.session import _ship_package
+
+        _ship_package(spark)
+        _SHIPPED.add(app)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
