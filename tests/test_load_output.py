@@ -41,3 +41,18 @@ def test_output_formats(spark):
     assert len(tsv.splitlines()) == 3
     tbl = to_arrow(df)
     assert tbl.num_rows == 2 and set(tbl.column_names) == set(df.columns)
+
+
+def test_tableio_parquet_backend(spark, tmp_path):
+    from groonga_spark.catalog import TableIO, has_iceberg
+
+    assert not has_iceberg(spark)  # sandbox session has no Iceberg jars
+    loc = str(tmp_path / "t")
+    io = TableIO.for_session(spark, loc)
+    assert io.backend == "parquet"
+    df = spark.range(5).withColumnRenamed("id", "x")
+    io.write(df)
+    assert io.read().count() == 5
+    io.write(spark.range(3).withColumnRenamed("id", "x"), mode="append")
+    assert io.read().count() == 8
+    assert io.incremental_read(None).count() == 8
