@@ -187,7 +187,7 @@ class SegmentQueryKernel:
             return empty
         if isinstance(node, (Term, Phrase)):
             tids = self._leaf_tokens(node.text)
-            if tids is None:
+            if not tids:  # unknown token (None) or zero tokens ("" / "   ")
                 return empty
             if len(tids) == 1:
                 return self._eval_single(tids[0])
@@ -256,6 +256,8 @@ class SegmentQueryKernel:
     def _intersect_scored(self, tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
         """Rarest-first intersection with block range pruning; scores
         summed in sorted-unique-term order (determinism)."""
+        if not tids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         uniq = sorted(set(tids))
         tps = {t: self.by_tid.get(t) for t in uniq}
         if any(v is None for v in tps.values()):
@@ -380,12 +382,225 @@ class SegmentQueryKernel:
                 doc, score = _topk(doc, score, self.k)
         return _topk(doc, score, self.k)
 
+    # --- multi-term block-max pruning (interval algorithm) ------------------
+    #
+    # Doc-id space is partitioned at every block boundary of every query
+    # term.  Each interval's upper bound is the sum of the covering blocks'
+    # bounds (a term's blocks are doc-disjoint, and every block edge is a
+    # boundary, so ≤1 block per term covers an interval); for AND the bound
+    # is 0 when any term lacks coverage.  Intervals are processed in
+    # descending-bound order; a doc's score is EXACT when its interval is
+    # processed (all covering blocks decode), so once the running kth score
+    # strictly exceeds the best remaining bound, the rest never decode —
+    # rank-identical to the exhaustive path, ties and all.  This is the
+    # block-level analogue of BMW/BMM (Ding & Suel 2011; Dimopoulos 2013).
+
+    def _topk_interval_pruned(
+        self,
+        tids_ordered: list[int],
+        weights: list[float],
+        mode: str,
+        neg_docs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """``mode`` 'or': per-doc score = Σ contributions in tids_ordered
+        (child) order — the exhaustive _eval_or summation order.  'and':
+        docs must match every term; score = Σ weight·bm25 in tids_ordered
+        (sorted-unique) order — the exhaustive _intersect_scored order."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        tps = [self.by_tid[t] for t in tids_ordered]
+        nt = len(tps)
+        lo_l = [tp.blocks["min_doc_id"].to_numpy(np.int64) for tp in tps]
+        hi_l = [tp.blocks["max_doc_id"].to_numpy(np.int64) for tp in tps]
+        ub_l = [tp.block_bounds(self.stats) * w
+                for tp, w in zip(tps, weights)]
+        bounds = np.unique(np.concatenate(lo_l + [h + 1 for h in hi_l]))
+        n_int = len(bounds) - 1
+        if n_int <= 0:
+            return empty
+        total_ub = np.zeros(n_int, np.float64)
+        covered_all = np.ones(n_int, bool)
+        blk_of_int = []  # per term: interval → covering block row (-1 none)
+        for ti in range(nt):
+            s_idx = np.searchsorted(bounds, lo_l[ti])
+            e_idx = np.searchsorted(bounds, hi_l[ti] + 1)
+            diff = np.zeros(n_int + 1, np.float64)
+            np.add.at(diff, s_idx, ub_l[ti])
+            np.add.at(diff, e_idx, -ub_l[ti])
+            iub = np.cumsum(diff[:n_int])
+            total_ub += iub
+            if mode == "and":
+                covered_all &= iub > 0
+            counts = e_idx - s_idx
+            blk = np.full(n_int, -1, np.int64)
+            starts = np.repeat(s_idx, counts)
+            offs = np.arange(int(counts.sum())) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            blk[starts + offs] = np.repeat(
+                np.arange(len(counts), dtype=np.int64), counts
+            )
+            blk_of_int.append(blk)
+        if mode == "and":
+            total_ub[~covered_all] = 0.0
+        order = np.argsort(-total_ub, kind="stable")
+        order = order[total_ub[order] > 0.0]
+        if len(order) == 0:
+            return empty
+
+        decoded: list[dict[int, tuple]] = [dict() for _ in range(nt)]
+
+        def _block(ti: int, b: int):
+            """Decoded (doc, score, interval_id) of one block, memoized."""
+            got = decoded[ti].get(b)
+            if got is None:
+                d, tf, dl = tps[ti].decode_idx(np.asarray([b], np.int64))
+                s = bm25(tf, dl, tps[ti].df, self.stats["n_docs"],
+                         self.stats["avgdl"], self.stats["k1"],
+                         self.stats["b"])
+                iid = np.searchsorted(bounds, d, side="right") - 1
+                got = decoded[ti][b] = (d, s, iid)
+            return got
+
+        k = self.k
+        run_doc = np.empty(0, np.int64)
+        run_score = np.empty(0, np.float64)
+        in_chunk = np.zeros(n_int, bool)
+        CHUNK = 32
+        i = 0
+        while i < len(order):
+            if len(run_doc) >= k and run_score[-1] > total_ub[order[i]]:
+                break  # kth best strictly beats every remaining interval
+            chunk = order[i : i + CHUNK]
+            i += CHUNK
+            in_chunk[:] = False
+            in_chunk[chunk] = True
+            if mode == "or":
+                d_parts, s_parts = [], []
+                for ti in range(nt):
+                    need = np.unique(blk_of_int[ti][chunk])
+                    for b in need[need >= 0].tolist():
+                        d, s, iid = _block(ti, b)
+                        m = in_chunk[iid]
+                        if m.any():
+                            d_parts.append(d[m])
+                            s_parts.append(s[m])
+                if not d_parts:
+                    continue
+                docs_all = np.concatenate(d_parts)
+                uniq_docs, inv = np.unique(docs_all, return_inverse=True)
+                agg = np.zeros(len(uniq_docs), np.float64)
+                # np.add.at applies in operand order == term-child order
+                # per doc — the exhaustive OR's summation order
+                np.add.at(agg, inv, np.concatenate(s_parts))
+                cand, cscore = uniq_docs, agg
+            else:  # and
+                per_d, per_s = [], []
+                ok = True
+                for ti in range(nt):
+                    need = np.unique(blk_of_int[ti][chunk])
+                    parts_d, parts_s = [], []
+                    for b in need[need >= 0].tolist():
+                        d, s, iid = _block(ti, b)
+                        m = in_chunk[iid]
+                        parts_d.append(d[m])
+                        parts_s.append(s[m])
+                    if parts_d:
+                        per_d.append(np.concatenate(parts_d))
+                        per_s.append(np.concatenate(parts_s))
+                    else:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                cand = per_d[0]
+                for ti in range(1, nt):
+                    if len(cand) == 0:
+                        break
+                    cand = cand[np.isin(cand, per_d[ti], assume_unique=True)]
+                if len(cand) == 0:
+                    continue
+                cscore = np.zeros(len(cand), np.float64)
+                for ti in range(nt):  # sorted-unique-tid order (determinism)
+                    ix = np.searchsorted(per_d[ti], cand)
+                    # weight = dup count (exhaustive: c[t]·bm25, then add)
+                    cscore += weights[ti] * per_s[ti][ix]
+            if neg_docs is not None and len(cand):
+                keep = ~np.isin(cand, neg_docs, assume_unique=True)
+                cand, cscore = cand[keep], cscore[keep]
+            if len(cand) == 0:
+                continue
+            run_doc = np.concatenate([run_doc, cand])
+            run_score = np.concatenate([run_score, cscore])
+            if len(run_doc) >= k:
+                # keep (doc, score) sorted desc so score[-1] IS the kth
+                run_doc, run_score = _topk(run_doc, run_score, k)
+        return _topk(run_doc, run_score, k)
+
+    def _pruned_multi(self, ast):
+        """Route AND/OR roots over single-token leaves to the interval
+        pruner; None → caller falls back to the exhaustive path."""
+        if isinstance(ast, Or):
+            toks = []
+            for c in ast.children:
+                if not isinstance(c, (Term, Phrase)):
+                    return None
+                tids = self._leaf_tokens(c.text)
+                if not tids:  # unknown/empty leaf contributes nothing
+                    continue
+                if len(tids) != 1:
+                    return None  # phrase member → exhaustive
+                toks.append(tids[0])
+            toks = [t for t in toks if t in self.by_tid]
+            if not toks:
+                return (np.empty(0, np.int64), np.empty(0, np.float64))
+            if len(set(toks)) != len(toks):
+                return None  # duplicate term: float sum order differs
+            if len(toks) == 1:
+                return self._topk_single_pruned(toks[0])
+            return self._topk_interval_pruned(
+                toks, [1.0] * len(toks), "or"
+            )
+        if isinstance(ast, And):
+            pos = [c for c in ast.children if not isinstance(c, Not)]
+            neg = [c.child for c in ast.children if isinstance(c, Not)]
+            tids = []
+            for c in pos:
+                if not isinstance(c, (Term, Phrase)):
+                    return None
+                t = self._leaf_tokens(c.text)
+                if not t:  # AND with an unmatchable leaf → empty
+                    return (np.empty(0, np.int64), np.empty(0, np.float64))
+                if len(t) != 1:
+                    return None
+                tids.append(t[0])
+            if not tids:
+                return None
+            from collections import Counter
+
+            cnt = Counter(tids)
+            uniq = sorted(cnt)
+            if any(t not in self.by_tid for t in uniq):
+                return (np.empty(0, np.int64), np.empty(0, np.float64))
+            neg_docs = None
+            if neg:
+                nd = np.empty(0, np.int64)
+                for n in neg:
+                    nd = np.union1d(nd, self._docs_only(n))
+                neg_docs = nd
+            return self._topk_interval_pruned(
+                uniq, [float(cnt[t]) for t in uniq], "and", neg_docs
+            )
+        return None
+
     def run(self, ast) -> tuple[np.ndarray, np.ndarray]:
         # single-token leaf at the root → block-max WAND pruned path
         if isinstance(ast, (Term, Phrase)):
             tids = self._leaf_tokens(ast.text)
             if tids is not None and len(tids) == 1:
                 return self._topk_single_pruned(tids[0])
+        pruned = self._pruned_multi(ast)
+        if pruned is not None:
+            return pruned
         doc, score = self.eval(ast)
         if len(doc) == 0:
             return doc, score

@@ -304,3 +304,137 @@ def test_resume_after_failure(spark, corpus, tmp_path):
         .collect()
     )
     assert a == b
+
+
+def _mk_skewed_corpus(spark, n=3000, seed=7):
+    """Corpus with heavy tf/doclen skew so block bounds differ enough
+    for interval pruning to engage."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(n):
+        words = []
+        # zipf-ish: few docs get huge tf of hot terms
+        for w in ("alpha", "beta", "gamma"):
+            tf = int(rng.paretovariate(1.2)) if rng.random() < 0.4 else 0
+            words += [w] * min(tf, 50)
+        words += [rng.choice(vocab) for _ in range(rng.randrange(3, 60))]
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+MULTI_QUERIES = [
+    "alpha OR beta",
+    "alpha OR beta OR gamma",
+    "alpha beta",
+    "alpha beta gamma",
+    "alpha -beta",
+    "alpha beta -gamma",
+    "alpha OR w1 OR w2 OR w3",
+    "w0 w1",
+]
+
+
+def test_multiterm_blockmax_rank_identity(spark, tmp_path):
+    """Interval block-max pruned AND/OR top-k must equal the exhaustive
+    path bit-for-bit (docs AND scores), for every query shape and k."""
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    docs = _mk_skewed_corpus(spark)
+    path = str(tmp_path / "idx_mt")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=64)
+    idx = FulltextIndex(spark, path)
+    for q in MULTI_QUERIES:
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        for k in (1, 3, 10, 100):
+            kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+            pr = kern._pruned_multi(ast)
+            assert pr is not None, q  # these shapes must take the pruned path
+            kern2 = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+            d, s = kern2.eval(ast)
+            want = _topk(d, s, k)
+            assert (pr[0] == want[0]).all(), (q, k, pr, want)
+            assert (pr[1] == want[1]).all(), (q, k)  # bit-identical floats
+
+
+def test_multiterm_blockmax_actually_prunes(spark, tmp_path):
+    """On the skewed corpus, small-k AND/OR queries must decode fewer
+    blocks than the exhaustive path."""
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, TermPostings
+
+    # block-max pruning needs bounds that VARY BY DOC RANGE (clustered
+    # tf), not randomly-scattered heavy docs — cluster the heavy hitters
+    # in the low doc ids
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for d in range(6000):
+        hot_tf = 30 if d < 150 else 1
+        words = ["alpha"] * (hot_tf if rng.random() < 0.6 else 0)
+        words += ["beta"] * (hot_tf if rng.random() < 0.6 else 0)
+        words += [f"w{rng.randrange(40)}" for _ in range(10)]
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_mtp")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=32)
+    idx = FulltextIndex(spark, path)
+    pruned_any = False
+    for q in ["alpha OR beta", "alpha beta"]:
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+
+        counts = {"n": 0}
+        orig = TermPostings.decode_idx
+
+        def spy(self, idx_arr, _c=counts, _o=orig):
+            _c["n"] += len(idx_arr)
+            return _o(self, idx_arr)
+
+        TermPostings.decode_idx = spy
+        try:
+            kern = SegmentQueryKernel(pdf, plan, idx._stats(), 3)
+            kern._pruned_multi(ast)
+        finally:
+            TermPostings.decode_idx = orig
+        total_blocks = sum(
+            len(tp.blocks) for tp in kern.by_tid.values()
+        )
+        assert counts["n"] <= total_blocks
+        if counts["n"] < total_blocks:
+            pruned_any = True
+    assert pruned_any, "no multi-term query pruned any block"
+
+
+def test_multiterm_pruned_via_search_api(spark, tmp_path):
+    """End-to-end: search() results for multi-term queries unchanged and
+    tombstones still honored on the pruned path."""
+    docs = _mk_skewed_corpus(spark, n=1500)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    path = str(tmp_path / "idx_mts")
+    build_index(spark, docs, path, mode="delimit", segment_size=400,
+                shard_size=64)
+    idx = FulltextIndex(spark, path)
+    orc = OracleIndex(rows, mode="delimit")
+    for q in MULTI_QUERIES:
+        got = [(r["doc_id"], r["score"]) for r in idx.search(q, 10).collect()]
+        want = orc.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6, q
+    # tombstones on the pruned path
+    top = [r["doc_id"] for r in idx.search("alpha OR beta", 5).collect()]
+    idx.delete_docs(top[:2])
+    after = [r["doc_id"] for r in idx.search("alpha OR beta", 5).collect()]
+    assert not (set(top[:2]) & set(after))
