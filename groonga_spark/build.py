@@ -126,6 +126,17 @@ def assign_dense_ids(
         # silently serves stale data if the source files are rewritten
         # (e.g. compaction re-finalizing the same paths)
         return out, acc - start, d
+    # Pin the assigned ids as DATA (eager local checkpoint, materialized
+    # through d's cache so the offsets match the sampled boundaries), then
+    # drop the persist. Unpersisting while `out` could still re-execute
+    # would be silent corruption: repartitionByRange re-samples with a
+    # fresh RDD-id seed on re-execution, so the broadcast offsets may no
+    # longer match the boundaries. Checkpointed ids can't drift, and no
+    # CacheManager entry outlives this call. (At true 100 TB scale the
+    # prod path is staging ids to an Iceberg table instead — same idea,
+    # durable storage.)
+    out = out.localCheckpoint(eager=True)
+    d.unpersist()
     return out
 
 
@@ -257,6 +268,15 @@ def encode_shard(
     deltas = np.diff(doc_ids, prepend=np.int64(0))
     if len(deltas):
         deltas[0] = doc_ids[0]
+    # content fingerprint: Σ crc32(f"{doc_id}:{text}") mod 2^31 — rides the
+    # marker's otherwise-unused max_tf (markers carry no tf stream). Must
+    # stay bit-equal to the Spark-side recompute in build_index's stale
+    # check: crc32(encode(concat(doc_id, ':', coalesce(text,'')), 'utf-8')).
+    import zlib
+
+    fp = 0
+    for d, t in zip(doc_ids.tolist(), pdf["text"].tolist()):
+        fp += zlib.crc32(f"{d}:{t if t is not None else ''}".encode())
     marker = pd.DataFrame(
         {
             "term": [""],
@@ -269,7 +289,7 @@ def encode_shard(
             "tfs": [b""],
             "dls": [vb_encode(counts.astype(np.uint64))],
             "positions": [b""],
-            "max_tf": [0],
+            "max_tf": [fp % (1 << 31)],
             "min_dl": [int(counts.min()) if len(counts) else 0],
             "sum_tf": [int(counts.sum())],
         }
@@ -327,7 +347,10 @@ def build_segment(
                coalesce(sum(octet_length(doc_deltas) + octet_length(tfs)
                             + octet_length(dls) + octet_length(positions)), 0)
                  AS bytes,
-               coalesce(sum(CASE WHEN term = '' THEN sum_tf END), 0) AS dl_sum
+               coalesce(sum(CASE WHEN term = '' THEN sum_tf END), 0) AS dl_sum,
+               coalesce(sum(CASE WHEN term = '' THEN max_tf END), 0) AS doc_fp,
+               coalesce(max(CASE WHEN term = '' THEN max_doc_id END), -1)
+                 AS max_doc_id
         FROM '{seg_dir}/*.parquet'
         """
     ).fetchone()
@@ -341,6 +364,8 @@ def build_segment(
         "dl_sum": int(m[3]),
         "started_at": t0,
         "finished_at": time.time(),
+        "doc_fp": int(m[4]) % (1 << 31),
+        "max_doc_id": int(m[5]),
     }
     _append_lineage(store, lineage)
     return lineage
@@ -355,6 +380,13 @@ LINEAGE_ARROW_SCHEMA = [
     ("dl_sum", "int64"),
     ("started_at", "float64"),
     ("finished_at", "float64"),
+    # v2 columns (older lineage files simply lack them; readers use
+    # union_by_name / pyarrow schema evolution and treat null as unknown):
+    # doc_fp = Σ crc32("{doc_id}:{text}") mod 2^31 over the segment's docs
+    # (content staleness detection — count-only misses in-place upserts);
+    # max_doc_id = the segment's high-water mark (append-only pruning).
+    ("doc_fp", "int64"),
+    ("max_doc_id", "int64"),
 ]
 
 
@@ -405,12 +437,15 @@ def finalize_index(
         f"""SELECT coalesce(sum(docs_tokenized), 0),
                    coalesce(sum(dl_sum), 0),
                    coalesce(sum(postings_emitted), 0),
-                   coalesce(sum(bytes_compressed), 0)
-            FROM '{store.p("lineage")}/*.parquet'
+                   coalesce(sum(bytes_compressed), 0),
+                   coalesce(max(max_doc_id), -1)
+            FROM read_parquet('{store.p("lineage")}/*.parquet',
+                              union_by_name=true)
             WHERE status = 'committed'"""
     ).fetchone()
     n_docs = int(srow[0])
     avgdl = float(srow[1]) / n_docs if n_docs else 0.0
+    hwm = int(srow[4])  # corpus doc-id high-water mark (-1 = unknown)
 
     # lexicon: df/cf roll up from block partials; dense ids by term order
     lex = blocks.filter(F.col("term") != "").groupBy("term").agg(
@@ -523,6 +558,8 @@ def finalize_index(
         "postings_total": int(totals[0]),
         "bytes_compressed": int(totals[1]),
     }
+    if hwm >= 0:
+        meta["max_doc_id"] = hwm
     store.write_meta(meta)
     return meta
 
@@ -590,15 +627,21 @@ def compact_index(spark: SparkSession, path: str) -> dict:
                        coalesce(sum(octet_length(doc_deltas)
                                     + octet_length(tfs) + octet_length(dls)
                                     + octet_length(positions)), 0),
-                       coalesce(sum(CASE WHEN term = '' THEN sum_tf END), 0)
+                       coalesce(sum(CASE WHEN term = '' THEN sum_tf END), 0),
+                       coalesce(max(CASE WHEN term = '' THEN max_doc_id END),
+                                -1)
                 FROM '{seg_dir}/*.parquet'"""
         ).fetchone()
         _con.close()
+        # doc_fp stays null (unknown): filter_blocks can drop docs from a
+        # marker but cannot recompute the content crc without the text —
+        # compacted segments fall back to the count-only staleness check
         _append_lineage(store, {
             "segment": int(d), "status": "committed",
             "docs_tokenized": int(m[0]), "postings_emitted": int(m[1]),
             "bytes_compressed": int(m[2]), "dl_sum": int(m[3]),
             "started_at": time.time(), "finished_at": time.time(),
+            "max_doc_id": int(m[4]),
         })
 
     out = finalize_index(
@@ -625,6 +668,7 @@ def build_index(
     fail_after_segments: int | None = None,
     shard_size: int = DEFAULT_SHARD_SIZE,
     max_concurrent_segments: int = 3,
+    append_only: bool = False,
 ) -> dict:
     """Build (or resume) a full index over docs(doc_id, text, ...).
 
@@ -632,6 +676,14 @@ def build_index(
     to exercise resume-after-kill (BASELINE.md row 6). ``salt_target`` is
     accepted for API compatibility; skew handling is now structural
     (doc-range shards), so it is unused.
+
+    ``append_only=True`` promises docs only ever gain NEW doc ids above
+    the last build's high-water mark (the streaming append contract) —
+    the staleness scan then reads only ``doc_id >= hwm-segment`` (a
+    pushed-down range filter → partition/row-group pruning), not the
+    whole corpus. Leave False when existing rows may have been upserted
+    in place: the full scan also compares per-segment content
+    fingerprints, which is what catches same-id text replacement.
     """
     store = IndexStore(path)
     os.makedirs(path, exist_ok=True)
@@ -643,31 +695,67 @@ def build_index(
     n_segments = max_id // segment_size + 1
 
     done = store.committed_segments(spark) if resume else set()
-    if done:  # noqa: SIM102
-        # incremental correctness: a committed segment whose doc count no
-        # longer matches its lineage (docs appended into its id range
-        # since the last build) is stale — rebuild it. One doc_id-column
-        # aggregation over the corpus; its lineage rows are replaced.
+    if done:
+        # incremental correctness: a committed segment is stale when its
+        # doc COUNT or its content FINGERPRINT (Σ crc32("{id}:{text}")
+        # mod 2^31 — catches in-place upserts that keep ids) no longer
+        # matches lineage. One aggregation over (doc_id, text); with
+        # append_only + a recorded high-water mark, the scan is range-
+        # pruned to segments at/above the mark.
+        scan = docs
+        first_checked = 0
+        if append_only:
+            try:
+                prev_hwm = store.read_meta().get("max_doc_id")
+            except FileNotFoundError:
+                prev_hwm = None
+            if prev_hwm is not None:
+                first_checked = prev_hwm // segment_size
+                scan = docs.filter(
+                    F.col("doc_id") >= first_checked * segment_size
+                )
+        fp_expr = F.crc32(
+            F.encode(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ),
+                "utf-8",
+            )
+        )
         actual = {
-            int(r["seg"]): int(r["count"])
-            for r in docs.groupBy(
+            int(r["seg"]): (int(r["n"]), int(r["fp"]) % (1 << 31))
+            for r in scan.groupBy(
                 (F.col("doc_id") / segment_size).cast("long").alias("seg")
-            ).count().collect()
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.sum(fp_expr).alias("fp")
+            ).collect()
         }
         import duckdb
 
         _con = duckdb.connect()
-        recorded = dict(
-            _con.sql(
-                f"""SELECT segment, max(docs_tokenized)
-                    FROM '{store.p("lineage")}/*.parquet'
+        recorded = {
+            int(seg): (int(n), None if fp is None else int(fp))
+            for seg, n, fp in _con.sql(
+                f"""SELECT segment, max(docs_tokenized),
+                           max(doc_fp)
+                    FROM read_parquet('{store.p("lineage")}/*.parquet',
+                                      union_by_name=true)
                     WHERE status = 'committed' GROUP BY segment"""
             ).fetchall()
-        )
-        _con.close()
-        stale = {
-            s for s in done if actual.get(s, 0) != recorded.get(s, -1)
         }
+        _con.close()
+
+        def _is_stale(s: int) -> bool:
+            if s < first_checked:
+                return False  # below the append-only high-water mark
+            n, fp = actual.get(s, (0, 0))
+            rn, rfp = recorded.get(s, (-1, None))
+            if n != rn:
+                return True
+            return rfp is not None and fp != rfp
+
+        stale = {s for s in done if _is_stale(s)}
         for s in stale:
             import glob as _glob
 

@@ -104,6 +104,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     on candidate pairs.
     """
     sh = shingles(docs, n, text_col, id_col).persist()
+    # sh is tracked on the returned DataFrame — consumers release via
+    # cacheutil.release(result) after their final action
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -125,7 +127,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
     )
-    return out
+    from groonga_spark.cacheutil import track
+
+    return track(out, [sh])
 
 
 # --------------------------------------------------------------------------
@@ -209,13 +213,16 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     # rewriting a corpus in place.)
     sized = sized.persist()
     a, b = sized.alias("a"), sized.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    from groonga_spark.cacheutil import track
+
+    return track(out, [sized])
 
 
 # --------------------------------------------------------------------------

@@ -54,7 +54,12 @@ def near_dup_losers(docs: DataFrame, threshold: float = 0.8,
                 / (F.col("sz1") + F.col("sz2") - F.col("inter"))
                 >= threshold)
     )
-    return confirmed.select(F.col("d2").alias("doc_id")).distinct()
+    from groonga_spark.cacheutil import track
+
+    return track(
+        confirmed.select(F.col("d2").alias("doc_id")).distinct(),
+        [sh, *getattr(cand, "_gs_persists", ())],
+    )
 
 
 def curate_corpus(docs: DataFrame, min_quality: float = 0.2,
@@ -91,6 +96,14 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.2,
     curated = base.join(losers.withColumnRenamed("doc_id", id_col), id_col,
                         "left_anti").persist()
     n_final = curated.count()
+    # the count materialized `curated`; the dedup intermediates under it
+    # are no longer needed — release them now, keep only `curated` cached
+    # (tracked, so callers can cacheutil.release(curated) when done)
+    from groonga_spark.cacheutil import release, track
+
+    release(losers)
+    kept_ids.unpersist()
+    track(curated, [curated])
     metrics = {
         "input_docs": n0,
         "after_exact_dedup": n_exact,

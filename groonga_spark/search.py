@@ -86,20 +86,36 @@ class FulltextIndex:
             if self._lex_cache.get(t) is not None
         ]
 
-    def _prefix_terms(self, prefix: str, limit: int = 32) -> list[str]:
+    def _prefix_terms(self, prefix: str, limit: int | None = None) -> list[str]:
         """Lexicon range scan for a prefix — the PAT-trie predictive
-        cursor [G: lib/pat.c · GRN_CURSOR_PREFIX]: terms in
-        [p, p+U+10FFFF] are exactly those starting with p (bytewise
-        UTF-8 order)."""
+        cursor [G: lib/pat.c · GRN_CURSOR_PREFIX]. Exact: [p, succ(p))
+        where succ increments the last codepoint (codepoint order ==
+        UTF-8 byte order), with a startswith post-check for the
+        no-successor edge. Unbounded by default; an explicit ``limit``
+        that truncates warns."""
         import pyarrow.dataset as ds
 
+        f = ds.field("term") >= prefix
+        # exclusive upper bound: increment the last non-U+10FFFF codepoint
+        p = prefix
+        while p and ord(p[-1]) >= 0x10FFFF:
+            p = p[:-1]
+        if p:
+            f = f & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
         dset = ds.dataset(self.store.p("lexicon"), format="parquet")
-        tbl = dset.to_table(
-            columns=["term"],
-            filter=(ds.field("term") >= prefix)
-            & (ds.field("term") <= prefix + chr(0x10FFFF)),
+        tbl = dset.to_table(columns=["term"], filter=f)
+        terms = sorted(
+            t for t in tbl.column("term").to_pylist() if t.startswith(prefix)
         )
-        return sorted(tbl.column("term").to_pylist())[:limit]
+        if limit is not None and len(terms) > limit:
+            import warnings
+
+            warnings.warn(
+                f"prefix '{prefix}*' matches {len(terms)} terms; "
+                f"truncated to first {limit}"
+            )
+            terms = terms[:limit]
+        return terms
 
     def _expand_ast(self, ast, expansions: dict | None = None):
         """Plan-time AST rewrites: QL prefix leaves (``word*``) become an

@@ -149,6 +149,23 @@ class SelectResult:
     n_hits: int
     drilldowns: dict = field(default_factory=dict)
     slices: dict = field(default_factory=dict)
+    _cached: DataFrame | None = None
+
+    def close(self) -> None:
+        """Release the shared cached base plan. After close() the result
+        DataFrames still compute (lazily, uncached). Leaving a result
+        unclosed leaks a session-lifetime cache entry — and a stale-plan
+        hazard if the underlying files are rewritten in place (Spark's
+        CacheManager substitutes persisted plans by plan equality)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+
+    def __enter__(self) -> "SelectResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def select(
@@ -167,6 +184,7 @@ def select(
     adjuster: list | None = None,
     match_escalation_threshold: int | None = None,
     id_col: str = "doc_id",
+    need_hit_count: bool = True,
 ) -> SelectResult:
     """The grn_select pipeline over a DataFrame (+ optional fulltext index).
 
@@ -220,8 +238,20 @@ def select(
     if post_filter:
         df = df.filter(F.expr(script_to_sql(post_filter)))
 
-    base = df.cache()  # drilldowns/slices/sort all branch off this
-    n_hits = base.count()
+    # Cache only when >1 consumer will actually read the base plan
+    # (n_hits count + drilldowns/slices/hits). Pipeline use can pass
+    # need_hit_count=False to stay fully lazy — no action, no cache
+    # (Groonga always reports n_hits; at 100 TB that forced count per
+    # select is the wrong default for ETL).
+    n_consumers = (
+        (1 if need_hit_count else 0)
+        + (len(drilldowns) if isinstance(drilldowns, (list, dict)) else (1 if drilldowns else 0))
+        + len(slices or {})
+        + 1  # hits
+    )
+    cached = df.cache() if n_consumers > 1 else None
+    base = cached if cached is not None else df
+    n_hits = base.count() if need_hit_count else -1
 
     dd = {}
     if drilldowns is not None:
@@ -262,13 +292,15 @@ def select(
         if output_columns != ["*"]:
             hits = hits.select(*output_columns)
 
-    return SelectResult(hits=hits, n_hits=n_hits, drilldowns=dd, slices=sl)
+    return SelectResult(hits=hits, n_hits=n_hits, drilldowns=dd, slices=sl,
+                        _cached=cached)
 
 
 def _escalate_query(index, query: str) -> str | None:
     """Match escalation [G: lib/expr.c/ii.c · grn_ii_select escalation]:
     when hits ≤ threshold, relax each term to an OR over lexicon terms
-    sharing its prefix (EXACT → PARTIAL approximation)."""
+    sharing its prefix (EXACT → PARTIAL approximation). Uses the driver's
+    pyarrow lexicon range scan — zero Spark jobs."""
     from groonga_spark.ql import parse_query, query_terms
 
     terms = query_terms(parse_query(query))
@@ -276,13 +308,7 @@ def _escalate_query(index, query: str) -> str | None:
         return None
     parts = []
     for t in terms:
-        rows = (
-            index.lexicon.filter(F.col("term").startswith(t.lower()))
-            .select("term")
-            .limit(8)
-            .collect()
-        )
-        expanded = [r["term"] for r in rows]
+        expanded = index._prefix_terms(t.lower(), limit=8)
         if expanded:
             parts.append("(" + " OR ".join(expanded) + ")")
     return " ".join(parts) if parts else None

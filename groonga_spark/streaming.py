@@ -44,10 +44,16 @@ def append_docs(
 
     ``all_docs`` is the full current corpus (e.g. the Iceberg table after
     new snapshots); only segments with new/changed doc counts rebuild.
+
+    Append contract: micro-batches must add docs with NEW, monotonically
+    growing doc ids — the staleness scan is range-pruned to the recorded
+    high-water mark, so an in-place text replacement below it is NOT
+    detected here. For upserts, delete_docs + compact_index, or run
+    build_index(resume=True) (full fingerprint check), instead.
     """
     return build_index(
         spark, all_docs, path, mode=mode, segment_size=segment_size,
-        shard_size=shard_size, resume=True,
+        shard_size=shard_size, resume=True, append_only=True,
     )
 
 

@@ -135,3 +135,62 @@ def test_stream_build_foreachbatch(spark, docs, tmp_path):
     path2 = str(tmp_path / "idx_batch")
     build_index(spark, docs, path2, mode="delimit", segment_size=200)
     assert _postings_rows(spark, idx) == _postings_rows(spark, path2)
+
+
+def test_upsert_in_place_detected_by_fingerprint(spark, docs, tmp_path):
+    """Same doc ids, changed text: the count matches lineage, but the
+    content fingerprint must flag the segment stale on a full resume."""
+    path = str(tmp_path / "idx_fp")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 42, F.lit("entirely replaced body spark"))
+        .otherwise(F.col("text")),
+    )
+    build_index(spark, changed, path, mode="delimit", segment_size=200,
+                resume=True)
+
+    path2 = str(tmp_path / "idx_fp_ref")
+    build_index(spark, changed, path2, mode="delimit", segment_size=200)
+    assert _postings_rows(spark, path) == _postings_rows(spark, path2)
+    # the replacement text is searchable
+    idx = FulltextIndex(spark, path)
+    assert 42 in {r["doc_id"]
+                  for r in idx.match_docs("entirely replaced").collect()}
+
+
+def test_append_only_skips_below_high_water_mark(spark, docs, tmp_path):
+    """append_docs (append_only): segments below the recorded
+    max_doc_id are trusted — an in-place change below the mark is
+    intentionally NOT rebuilt (the documented contract), while new docs
+    above the mark are indexed."""
+    from groonga_spark.streaming import append_docs
+
+    path = str(tmp_path / "idx_hwm")
+    half = docs.filter(F.col("doc_id") < 250)
+    build_index(spark, half, path, mode="delimit", segment_size=200)
+    meta = IndexStore(path).read_meta()
+    assert meta["max_doc_id"] == 249
+
+    # corrupt a doc BELOW the mark and append the rest of the corpus
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 10, F.lit("tampered below mark"))
+        .otherwise(F.col("text")),
+    )
+    append_docs(spark, tampered, path, segment_size=200)
+    idx = FulltextIndex(spark, path)
+    # below-mark change not picked up (append contract)…
+    assert 10 not in {r["doc_id"]
+                      for r in idx.match_docs("tampered").collect()}
+    # …but the appended docs are all there
+    assert idx.meta["n_docs"] == docs.count()
+    assert idx.meta["max_doc_id"] == docs.agg(F.max("doc_id")).collect()[0][0]
+
+    # a full (non-append-only) resume catches the tamper via fingerprint
+    build_index(spark, tampered, path, mode="delimit", segment_size=200,
+                resume=True)
+    idx2 = FulltextIndex(spark, path)
+    assert 10 in {r["doc_id"]
+                  for r in idx2.match_docs("tampered").collect()}
