@@ -50,6 +50,9 @@ def _fake_decode_features(payload: pd.Series, dim: int) -> np.ndarray:
     batch shape a real decoder (PIL/torchvision/librosa) would slot into.
     """
     out = np.zeros((len(payload), dim), dtype=np.float64)
+    n_bytes = np.zeros(len(payload), np.int64)
+    means = np.zeros(len(payload), np.float64)
+    stds = np.zeros(len(payload), np.float64)
     for i, buf in enumerate(payload):       # per-document (not per-row-element)
         if buf is None or len(buf) == 0:
             continue
@@ -59,7 +62,18 @@ def _fake_decode_features(payload: pd.Series, dim: int) -> np.ndarray:
         sums = np.bincount(idx, weights=a, minlength=dim)
         cnts = np.maximum(np.bincount(idx, minlength=dim), 1)
         out[i] = sums / cnts / 255.0
-    return out
+        # byte stats in the same pass (one decode touch per payload).
+        # Exact-integer moments: Σx and Σx² are exact in float64 (byte
+        # values, n < 2^45), so mean/std are bit-reproducible across
+        # engines regardless of summation order — the oracle (DuckDB)
+        # computes the same two moments and gets identical doubles.
+        n_bytes[i] = n
+        sx = float(a.sum())
+        sxx = float((a * a).sum())
+        m = sx / n
+        means[i] = m
+        stds[i] = np.sqrt(max(sxx / n - m * m, 0.0))
+    return out, n_bytes, means, stds
 
 
 def extract_features(media: DataFrame, dim: int = 16,
@@ -81,22 +95,17 @@ def extract_features(media: DataFrame, dim: int = 16,
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode_features(pdf["payload"], dim)
-            lens = pdf["payload"].map(lambda b: 0 if b is None else len(b))
-            means = np.array([
-                np.frombuffer(bytes(b), np.uint8).mean() if b is not None and len(b) else 0.0
-                for b in pdf["payload"]
-            ])
-            stds = np.array([
-                np.frombuffer(bytes(b), np.uint8).std() if b is not None and len(b) else 0.0
-                for b in pdf["payload"]
-            ])
+            feats, n_bytes, means, stds = _fake_decode_features(
+                pdf["payload"], dim
+            )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": lens.astype(np.int64),
-                "byte_mean": np.round(means, 4),
-                "byte_std": np.round(stds, 4),
+                "n_bytes": n_bytes,
+                # floor(x·1e4+0.5)/1e4: engines disagree on decimal
+                # halves (np.round is half-even, SQL round half-away)
+                "byte_mean": np.floor(means * 1e4 + 0.5) / 1e4,
+                "byte_std": np.floor(stds * 1e4 + 0.5) / 1e4,
                 "feature": list(np.round(feats, 6)),
             })
 

@@ -260,3 +260,36 @@ def test_real_decode_is_marked_stub(spark, docs):
 
     with pytest.raises(NotImplementedError):
         extract_features(documents_as_media(docs), decode="real")
+
+
+def test_embedding_dups_lsh_recall_vs_brute(spark):
+    """Banded-LSH near-dup pairs: subset of brute force (exact cosine
+    confirms), with ≥95% recall on planted high-sim near-dups."""
+    import numpy as np
+
+    from groonga_spark.cacheutil import release
+    from groonga_spark.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(100):
+        v = rng.randn(64)
+        w = v + rng.randn(64) * 0.02        # cos ≈ 0.987
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {(r["i"], r["j"])
+             for r in embedding_dup_pairs(emb, threshold=0.9).collect()}
+    lsh_df = embedding_dup_pairs_lsh(emb, threshold=0.9)
+    lsh = {(r["i"], r["j"]) for r in lsh_df.collect()}
+    release(lsh_df)
+
+    assert lsh <= brute                      # never a false positive
+    planted = {(2 * i, 2 * i + 1) for i in range(100)} & brute
+    assert len(planted) >= 90                # the fixture actually planted
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.95, recall
