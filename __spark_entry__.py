@@ -649,6 +649,91 @@ def q_ft_bigram(spark, sf):
     return _cjk_index(spark, sf).match_docs(query).select("doc_id")
 
 
+# -- token filters (stop_word + stem-lite) ----------------------------------
+
+FILTERED_MODE = "delimit|stop:the,a,of,and,to,in,is,it|stem"
+
+_FILT_CACHE: dict[str, object] = {}
+
+
+def _filtered_index(spark: SparkSession, sf_dir: str):
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _FILT_CACHE:
+        return _FILT_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gs_filt_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    build_index(spark, _t(spark, sf_dir, "documents"), path,
+                mode=FILTERED_MODE)
+    idx = FulltextIndex(spark, path)
+    _FILT_CACHE[key] = idx
+    return idx
+
+
+def q_term_df_filtered(spark, sf):
+    """Lexicon after token-filter stages (stop_word removal + stem-lite):
+    the filter pipeline runs identically at index time, so df/cf roll up
+    over stemmed, stop-free terms."""
+    return _filtered_index(spark, sf).lexicon.select("term", "df", "cf")
+
+
+# -- weighted multi-field match (match_columns / BM25F) ---------------------
+
+_MF_CACHE: dict[str, object] = {}
+
+
+def _mf_index(spark: SparkSession, sf_dir: str):
+    """Multi-field index over documents split into title (first 5 words)
+    and body (rest) — the WITH_SECTION / match_columns fixture."""
+    from groonga_spark.multifield import (
+        MultiFieldIndex,
+        build_multifield_index,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key in _MF_CACHE:
+        return _MF_CACHE[key]
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    split = docs.select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, 5), " ").alias("title"),
+        F.array_join(
+            F.when(F.size(w) > 5, F.slice(w, 6, 1 << 20))
+            .otherwise(F.array().cast("array<string>")), " "
+        ).alias("body"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gs_mf_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    build_multifield_index(spark, split, path, ["title", "body"],
+                           mode="delimit")
+    idx = MultiFieldIndex(spark, path)
+    _MF_CACHE[key] = idx
+    return idx
+
+
+def q_ft_multifield(spark, sf):
+    """BM25F top-10 for 'spark merge' over title*3||body — per-field BM25
+    with the field's own df/avgdl, title contributions ×3, cross-field OR
+    per term (a doc with 'spark' only in the title and 'merge' only in
+    the body matches)."""
+    hits = _mf_index(spark, sf).search("spark merge",
+                                      match_columns="title*3||body", k=10)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 # -- rows-only checks (non-SQL-expressible: WAND internals, LSH-ANN, lineage)
 
 def q_ann_lsh(spark, sf):
@@ -729,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": q_curation,
         # bigram-mode flagship tokenizer (driver-graded)
         "ft_bigram": q_ft_bigram,
+        # weighted multi-field match (match_columns / BM25F)
+        "ft_multifield": q_ft_multifield,
+        # token filters (stop_word + stem-lite)
+        "term_df_filtered": q_term_df_filtered,
         # previously rows-only, now fully oracled
         "ann_lsh": q_ann_lsh,
         "index_lineage": q_index_lineage,
@@ -779,6 +868,45 @@ sc AS (SELECT tf.doc_id, tf.term,
               ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sco
        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats s)
+"""
+
+
+def _bm25f_sql() -> str:
+    """BM25F oracle for q_ft_multifield: title = first 5 words, body =
+    rest; per-field BM25 with the field's own dl/avgdl/df; per term,
+    leaf = coalesce(3·sco_title, 0) + coalesce(sco_body, 0) (the engine's
+    match_columns combine order); both terms must match some field."""
+    per_field = """
+{f}tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest({f}w) AS term FROM f)
+       WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+{f}df AS (SELECT term, count(*) AS df FROM {f}tf GROUP BY term),
+{f}dl AS (SELECT doc_id, len({f}w) AS dl FROM f),
+{f}st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM {f}dl),
+{f}sc AS (SELECT t.doc_id, t.term,
+              ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+              / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sco
+       FROM {f}tf t JOIN {f}df d USING (term)
+       JOIN {f}dl l USING (doc_id), {f}st s)"""
+    return f"""
+WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') w
+           FROM documents),
+f AS (SELECT doc_id, w[1:5] AS tw, w[6:] AS bw FROM d),
+{per_field.format(f='t')},
+{per_field.format(f='b')},
+leaf AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.term, b.term) AS term,
+         coalesce(3 * t.sco, 0) + coalesce(b.sco, 0) AS sco
+  FROM tsc t FULL OUTER JOIN bsc b
+    ON t.doc_id = b.doc_id AND t.term = b.term),
+agg AS (SELECT doc_id,
+               max(CASE WHEN term = 'spark' THEN sco END) AS l1,
+               max(CASE WHEN term = 'merge' THEN sco END) AS l2
+        FROM leaf GROUP BY doc_id)
+SELECT doc_id, round(l1 + l2, 4) AS score FROM agg
+WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+ORDER BY l1 + l2 DESC, doc_id LIMIT 10
 """
 
 
@@ -943,6 +1071,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
                    count(*)::BIGINT AS cf
             FROM ({_TOKS}) GROUP BY term""",
+        # stop list then stem-lite, mirroring tokenize.stem_lite exactly
+        "term_df_filtered": f"""
+            WITH t0 AS (SELECT doc_id, term FROM ({_TOKS})
+                        WHERE NOT list_contains({_STOP_EN}, term)),
+            st AS (SELECT doc_id,
+                     CASE
+                       WHEN NOT regexp_matches(term, '^[a-z]+$') THEN term
+                       WHEN len(term) > 4 AND term LIKE '%ies'
+                         THEN left(term, len(term)-3) || 'y'
+                       WHEN len(term) > 5 AND term LIKE '%ing'
+                         THEN left(term, len(term)-3)
+                       WHEN len(term) > 4 AND term LIKE '%ed'
+                         THEN left(term, len(term)-2)
+                       WHEN len(term) > 3 AND term LIKE '%es'
+                         THEN left(term, len(term)-2)
+                       WHEN len(term) > 3 AND term LIKE '%s'
+                            AND NOT term LIKE '%ss'
+                         THEN left(term, len(term)-1)
+                       ELSE term END AS term
+                   FROM t0)
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS cf
+            FROM st GROUP BY term""",
         "ft_match_single": """
             SELECT doc_id FROM documents
             WHERE list_contains(string_split(text, ' '), 'spark')""",
@@ -963,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(string_split(text, ' '),
                                   x -> x LIKE 'sp%')) > 0""",
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
+        "ft_multifield": _bm25f_sql(),
         "adjuster": _adjuster_sql(),
         "slices": """
             SELECT doc_id, lang, n_chars FROM documents

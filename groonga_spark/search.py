@@ -299,6 +299,12 @@ class FulltextIndex:
                    expansions: dict | None = None) -> DataFrame:
         """All matching doc ids (no top-k) — the COUNT/filter path."""
         ast = self._expand_ast(parse_query(query), expansions)
+        return self.match_ast(ast, distributed=distributed)
+
+    def match_ast(self, ast,
+                  distributed: bool | None = None) -> DataFrame:
+        """match_docs over a pre-expanded AST (multi-field leaf eval and
+        other composers enter here)."""
         plan = self._plan(ast)
         spark = self.spark
         if ast is None or not plan["needed_tids"]:

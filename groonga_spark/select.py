@@ -185,6 +185,7 @@ def select(
     match_escalation_threshold: int | None = None,
     id_col: str = "doc_id",
     need_hit_count: bool = True,
+    match_columns: str | None = None,
 ) -> SelectResult:
     """The grn_select pipeline over a DataFrame (+ optional fulltext index).
 
@@ -202,7 +203,12 @@ def select(
     if query is not None:
         if index is None:
             raise ValueError("query= requires index=")
-        matches = index.match_docs(query)
+        # match_columns (weighted multi-field spec) needs a MultiFieldIndex
+        matches = (
+            index.match_docs(query, match_columns=match_columns)
+            if match_columns is not None
+            else index.match_docs(query)
+        )
         if match_escalation_threshold is not None:
             n = matches.count()
             if n <= match_escalation_threshold:

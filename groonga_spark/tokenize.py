@@ -29,6 +29,27 @@ TOKENIZER SEMANTICS (frozen; golden fixtures tests/golden_tokens.jsonl):
 ``delimit`` — Groonga TokenDelimit class: split on Unicode whitespace
   runs only; punctuation stays inside tokens.
 
+``trigram`` / ``ngram:N`` — TokenTrigram and the generalized TokenNgram:
+  CJK runs of length L emit L tokens, token i = cp[i : i+N] clipped at
+  the run end (trailing partial grams, the reference's behavior). Word
+  classes are unchanged. N-gram queries should be ≥ N chars (short
+  queries only match trailing partials; the reference's gram-prefix
+  search is out of scope v1).
+
+TOKEN FILTERS — composable stages appended to the mode string
+[G: plugins/token_filters/ · TokenFilterStopWord / TokenFilterStem]:
+
+  ``<base>|stop:w1,w2,...``  drop exact tokens (applied to normalized
+      tokens; surviving tokens KEEP their original positions, so phrases
+      across a removed stop word do NOT match — reference behavior);
+  ``<base>|stem``            stem-lite English suffix stripper (ies→y,
+      ing, ed, es, s — ASCII-alpha tokens only; deliberately minimal,
+      deterministic, and replicated in the DuckDB oracle — not Porter).
+
+Filters run in listed order, identically at index and query time (the
+mode string is frozen into index meta). The encoded fast path applies
+them at VOCAB level (O(distinct terms) string work, never per token).
+
 Input must already be normalized (normalize.py). Query and index sides use
 THIS SAME function — the single source of truth the rank-identity contract
 depends on.
@@ -111,11 +132,62 @@ def _classify(cp: np.ndarray) -> np.ndarray:
     return cls.astype(np.uint8)
 
 
+def parse_mode(mode: str) -> tuple[str, int, list[tuple[str, object]]]:
+    """``"trigram|stop:the,a|stem"`` → ("ngram", 3, [("stop", {...}),
+    ("stem", None)]). The full string is what build_index freezes into
+    index meta, so query-side tokenization replays the same stages."""
+    parts = mode.split("|")
+    base = parts[0]
+    if base == "bigram":
+        kind, n = "ngram", 2
+    elif base == "trigram":
+        kind, n = "ngram", 3
+    elif base.startswith("ngram:"):
+        kind, n = "ngram", int(base[6:])
+        if n < 1:
+            raise ValueError(f"ngram size must be >= 1: {mode}")
+    elif base == "delimit":
+        kind, n = "delimit", 0
+    else:
+        raise ValueError(f"unknown tokenizer mode: {mode}")
+    filters: list[tuple[str, object]] = []
+    for p in parts[1:]:
+        if p.startswith("stop:"):
+            filters.append(
+                ("stop", frozenset(w for w in p[5:].split(",") if w))
+            )
+        elif p == "stem":
+            filters.append(("stem", None))
+        else:
+            raise ValueError(f"unknown token filter: {p!r} in {mode}")
+    return kind, n, filters
+
+
+def stem_lite(t: str) -> str:
+    """Minimal deterministic English suffix stripper (NOT Porter) —
+    ASCII-alpha tokens only; rules mirrored in the DuckDB oracle SQL."""
+    if not (t.isascii() and t.isalpha()):
+        return t
+    n = len(t)
+    if n > 4 and t.endswith("ies"):
+        return t[:-3] + "y"
+    if n > 5 and t.endswith("ing"):
+        return t[:-3]
+    if n > 4 and t.endswith("ed"):
+        return t[:-2]
+    if n > 3 and t.endswith("es"):
+        return t[:-2]
+    if n > 3 and t.endswith("s") and not t.endswith("ss"):
+        return t[:-1]
+    return t
+
+
 def _token_offsets(
     texts: list[str], mode: str
 ):
     """Shared core: → (joined, cp, row_idx, tok_start, tok_end, pos) or
     None for an empty batch."""
+    kind, ngram_n, _ = parse_mode(mode)
     joined = "".join(texts)
     if not joined:
         return None
@@ -125,10 +197,8 @@ def _token_offsets(
     doc_ends = np.cumsum(np.fromiter((len(t) for t in texts), np.int64, len(texts)))
 
     cls = _classify(cp)
-    if mode == "delimit":
+    if kind == "delimit":
         cls = np.where(cls == SPACE, SPACE, ALPHA).astype(np.uint8)
-    elif mode != "bigram":
-        raise ValueError(f"unknown tokenizer mode: {mode}")
 
     # run starts: position 0, class changes, document boundaries
     change = np.flatnonzero(cls[1:] != cls[:-1]) + 1
@@ -144,7 +214,8 @@ def _token_offsets(
     w_start = starts[word_mask]
     w_end = ends[word_mask]
 
-    # NGRAM runs of length L → L tokens (L-1 bigrams + trailing unigram)
+    # NGRAM runs of length L → L tokens (overlapping N-grams + trailing
+    # partials; N=2 is classic TokenBigram)
     g_start = starts[ng_mask]
     g_end = ends[ng_mask]
     g_len = g_end - g_start
@@ -153,7 +224,7 @@ def _token_offsets(
         rep_start = np.repeat(g_start, g_len)
         offs = np.arange(total_g) - np.repeat(np.cumsum(g_len) - g_len, g_len)
         t_start = rep_start + offs
-        t_end = np.minimum(t_start + 2, np.repeat(g_end, g_len))
+        t_end = np.minimum(t_start + max(ngram_n, 1), np.repeat(g_end, g_len))
     else:
         t_start = np.empty(0, np.int64)
         t_end = np.empty(0, np.int64)
@@ -194,6 +265,15 @@ def tokenize_batch(
     joined, _, row_idx, tok_start, tok_end, pos = r
     # string materialization (per-token slice of one Python str; C-level)
     terms = [joined[s:e] for s, e in zip(tok_start.tolist(), tok_end.tolist())]
+    _, _, filters = parse_mode(mode)
+    for fname, arg in filters:
+        if fname == "stop" and terms:
+            keep = np.array([t not in arg for t in terms], bool)
+            if not keep.all():
+                terms = [t for t, k in zip(terms, keep) if k]
+                row_idx, pos = row_idx[keep], pos[keep]  # positions keep gaps
+        elif fname == "stem":
+            terms = [stem_lite(t) for t in terms]
     return row_idx, terms, pos
 
 
@@ -275,6 +355,28 @@ def tokenize_batch_encoded(
     uniq_terms = [
         joined[tok_start[i] : tok_end[i]] for i in first_idx.tolist()
     ]
+    # token filters at VOCAB level: O(distinct terms) string work, the
+    # exploded stream is only masked/remapped (never re-materialized)
+    _, _, filters = parse_mode(mode)
+    for fname, arg in filters:
+        if fname == "stop":
+            stopped = np.array([t in arg for t in uniq_terms], bool)
+            if stopped.any():
+                tok_keep = ~stopped[codes]
+                row_idx = row_idx[tok_keep]
+                pos = pos[tok_keep]          # positions keep gaps
+                codes = codes[tok_keep]
+                kept = np.flatnonzero(~stopped)
+                remap = np.full(len(uniq_terms), -1, np.int64)
+                remap[kept] = np.arange(len(kept))
+                codes = remap[codes]
+                uniq_terms = [uniq_terms[i] for i in kept.tolist()]
+        elif fname == "stem":
+            stemmed = np.array([stem_lite(t) for t in uniq_terms],
+                               dtype=object)
+            uniq2, inv = np.unique(stemmed, return_inverse=True)
+            codes = inv[codes]
+            uniq_terms = uniq2.tolist()
     return row_idx, codes, uniq_terms, pos
 
 

@@ -1,0 +1,160 @@
+"""Weighted multi-field match (match_columns / BM25F) vs a brute-force
+python oracle: leaf-level cross-field OR semantics, per-field BM25 with
+own stats, column weights."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from groonga_spark.multifield import (
+    MultiFieldIndex,
+    build_multifield_index,
+    parse_match_columns,
+)
+from groonga_spark.ql import And, Not, Or, Phrase, Term, parse_query
+from oracle import OracleIndex
+
+
+class MultiFieldOracle:
+    """Per-field OracleIndex; leaf = Σ_f w_f·leaf_f; same AND/OR/NOT
+    combinators as the engine."""
+
+    def __init__(self, rows, fields, mode="delimit"):
+        # rows: list of (doc_id, {field: text})
+        self.oracles = {
+            f: OracleIndex([(d, vals.get(f, "")) for d, vals in rows], mode)
+            for f in fields
+        }
+
+    def _leaf(self, text, cols):
+        acc = defaultdict(float)
+        for name, w in cols:
+            for d, s in self.oracles[name]._leaf(text).items():
+                acc[d] += w * s
+        return dict(acc)
+
+    def eval(self, node, cols):
+        if node is None:
+            return {}
+        if isinstance(node, (Term, Phrase)):
+            return self._leaf(node.text, cols)
+        if isinstance(node, And):
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c.child for c in node.children if isinstance(c, Not)]
+            acc = None
+            for c in pos:
+                r = self.eval(c, cols)
+                acc = r if acc is None else {
+                    d: acc[d] + r[d] for d in acc.keys() & r.keys()
+                }
+            acc = acc or {}
+            for c in neg:
+                bad = self.eval(c, cols).keys()
+                acc = {d: s for d, s in acc.items() if d not in bad}
+            return acc
+        if isinstance(node, Or):
+            acc = defaultdict(float)
+            for c in node.children:
+                for d, s in self.eval(c, cols).items():
+                    acc[d] += s
+            return dict(acc)
+        if isinstance(node, Not):
+            return {}
+        raise TypeError(type(node))
+
+    def search(self, query, match_columns, k=10):
+        cols = parse_match_columns(match_columns)
+        scores = self.eval(parse_query(query), cols)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = ["spark", "merge", "table", "scan", "stream", "window",
+             "fast", "slow", "index", "query", "vector", "join"]
+    rows = []
+    for d in range(400):
+        title = " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 5)))
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40)))
+        if d % 17 == 0:
+            body = ""  # empty-field docs keep dl=0 stats honest
+        rows.append((d, {"title": title, "body": body}))
+    df = spark.createDataFrame(
+        [(d, v["title"], v["body"]) for d, v in rows],
+        "doc_id long, title string, body string",
+    )
+    return rows, df
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    rows, df = corpus
+    path = str(tmp_path_factory.mktemp("mf") / "mf_idx")
+    build_multifield_index(spark, df, path, ["title", "body"],
+                           mode="delimit", segment_size=100)
+    return MultiFieldIndex(spark, path)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows, _ = corpus
+    return MultiFieldOracle(rows, ["title", "body"])
+
+
+def test_parse_match_columns():
+    assert parse_match_columns("title * 10 || body") == [
+        ("title", 10.0), ("body", 1.0)]
+    assert parse_match_columns("body") == [("body", 1.0)]
+
+
+@pytest.mark.parametrize("q", [
+    "spark",
+    "spark merge",          # cross-field AND: title-spark + body-merge docs
+    "spark OR stream",
+    "spark -slow",
+    '"spark fast"',
+])
+@pytest.mark.parametrize("mc", ["title*10||body", "title||body", "title"])
+def test_multifield_rank_identity(q, mc, built, oracle):
+    got = [(r["doc_id"], r["score"])
+           for r in built.search(q, match_columns=mc, k=10).collect()]
+    want = oracle.search(q, mc, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (q, mc, got, want)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6, (q, mc)
+
+
+def test_cross_field_and_semantics(built, oracle, corpus):
+    """A doc with 'spark' only in title and 'merge' only in body MUST
+    match 'spark merge' over title||body (the reference expansion)."""
+    rows, _ = corpus
+    only_cross = [
+        d for d, v in rows
+        if "spark" in v["title"].split() and "spark" not in v["body"].split()
+        and "merge" in v["body"].split() and "merge" not in v["title"].split()
+    ]
+    if not only_cross:
+        pytest.skip("fixture produced no cross-field doc")
+    got = {r["doc_id"] for r in
+           built.match_docs("spark merge", "title||body").collect()}
+    assert set(only_cross) <= got
+
+
+def test_select_with_match_columns(spark, built, corpus):
+    from groonga_spark.select import select
+
+    rows, df = corpus
+    with select(df, index=built, query="spark merge",
+                match_columns="title*10||body",
+                sort_keys="-_score,doc_id", limit=5,
+                output_columns=["doc_id", "_score"]) as res:
+        hits = res.hits.collect()
+    assert res.n_hits == len(
+        built.match_docs("spark merge", "title*10||body").collect())
+    assert len(hits) == min(5, res.n_hits)

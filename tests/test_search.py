@@ -438,3 +438,23 @@ def test_multiterm_pruned_via_search_api(spark, tmp_path):
     idx.delete_docs(top[:2])
     after = [r["doc_id"] for r in idx.search("alpha OR beta", 5).collect()]
     assert not (set(top[:2]) & set(after))
+
+
+def test_filtered_mode_index_rank_identity(spark, corpus, tmp_path):
+    """Index built with token filters (stop+stem): query-side uses the
+    same frozen mode string; results match the brute-force oracle."""
+    docs, rows = corpus
+    mode = "delimit|stop:the,a,of,and,to,in,is,it|stem"
+    path = str(tmp_path / "idx_filt")
+    build_index(spark, docs, path, mode=mode, segment_size=200)
+    idx = FulltextIndex(spark, path)
+    assert idx.meta["tokenizer_mode"] == mode
+    orc = OracleIndex(rows, mode=mode)
+    for q in ["spark merge", "tables", "merged OR windowing", "scan -table"]:
+        got = [(r["doc_id"], r["score"]) for r in idx.search(q, 10).collect()]
+        want = orc.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6
+    # stop words are unmatchable (dropped at both index and query time)
+    assert idx.match_docs("the").count() == 0

@@ -103,3 +103,51 @@ def test_encoded_tokenizer_equivalence_property():
         assert [uniq[c] for c in codes.tolist()] == terms
 
     check()
+
+
+def test_trigram_and_configurable_ngram():
+    from groonga_spark.tokenize import tokenize_str
+
+    assert tokenize_str("日本語処理", "trigram") == [
+        ("日本語", 0), ("本語処", 1), ("語処理", 2), ("処理", 3), ("理", 4)]
+    assert tokenize_str("日本語処理", "ngram:4") == [
+        ("日本語処", 0), ("本語処理", 1), ("語処理", 2), ("処理", 3), ("理", 4)]
+    # word classes unchanged by gram size
+    assert tokenize_str("abc 日本", "trigram") == [
+        ("abc", 0), ("日本", 1), ("本", 2)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        tokenize_str("x", "ngram:0")
+
+
+def test_stop_word_filter_keeps_position_gaps():
+    from groonga_spark.tokenize import tokenize_str
+
+    toks = tokenize_str("the big apple", "delimit|stop:the")
+    assert toks == [("big", 1), ("apple", 2)]  # gap at position 0 kept
+
+
+def test_stem_lite_rules():
+    from groonga_spark.tokenize import stem_lite
+
+    assert stem_lite("cities") == "city"
+    assert stem_lite("running") == "runn"
+    assert stem_lite("merged") == "merg"
+    assert stem_lite("tables") == "tabl"
+    assert stem_lite("glass") == "glass"      # -ss protected
+    assert stem_lite("is") == "is"            # too short
+    assert stem_lite("word,") == "word,"      # non-alpha untouched
+    assert stem_lite("日本語") == "日本語"      # non-ascii untouched
+
+
+def test_filters_identical_in_both_tokenize_paths():
+    from groonga_spark.tokenize import tokenize_batch, tokenize_batch_encoded
+
+    texts = ["the tables were merged", "a feeding frenzy", "stop the stops"]
+    for mode in ("delimit|stop:the,a|stem", "bigram|stem", "trigram|stop:the"):
+        r1, t1, p1 = tokenize_batch(texts, mode)
+        r2, c2, u2, p2 = tokenize_batch_encoded(texts, mode)
+        got1 = sorted(zip(r1.tolist(), t1, p1.tolist()))
+        got2 = sorted(zip(r2.tolist(), [u2[c] for c in c2.tolist()], p2.tolist()))
+        assert got1 == got2, mode
