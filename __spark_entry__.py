@@ -145,6 +145,12 @@ def q_ft_prefix(spark, sf):
     return _index(spark, sf).match_docs("sp*").select("doc_id")
 
 
+def q_ft_near(spark, sf):
+    """Near operator *N3"spark merge": both words with position span <=3
+    (positions-from-the-postings check, GRN_OP_NEAR equivalent)."""
+    return _index(spark, sf).match_docs('*N3"spark merge"').select("doc_id")
+
+
 def q_ft_topk_bm25(spark, sf):
     hits = _index(spark, sf).search("spark merge", k=10)
     return hits.select("doc_id", F.round("score", 4).alias("score"))
@@ -160,6 +166,24 @@ def q_select_filter(spark, sf):
         sort_keys="doc_id",
         limit=-1,
         output_columns=["doc_id", "lang", "n_chars"],
+    )
+    return res.hits
+
+
+def q_select_query_filter(spark, sf):
+    """Script-embedded query() inside a filter string — the fulltext
+    membership composes with a Catalyst predicate."""
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        index=_index(spark, sf),
+        filter='query("text", "spark merge") && n_chars > 300',
+        sort_keys="doc_id",
+        limit=-1,
+        output_columns=["doc_id", "n_chars"],
+        need_hit_count=False,
     )
     return res.hits
 
@@ -772,9 +796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_match_or_not": q_ft_match_or_not,
         "ft_phrase": q_ft_phrase,
         "ft_prefix": q_ft_prefix,
+        "ft_near": q_ft_near,
         "ft_topk_bm25": q_ft_topk_bm25,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
+        "select_query_filter": q_select_query_filter,
         "drilldown_lang": q_drilldown_lang,
         "drilldown_calc": q_drilldown_calc,
         "drilldown_multi": q_drilldown_multi,
@@ -1113,6 +1139,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE len(list_filter(string_split(text, ' '),
                                   x -> x LIKE 'sp%')) > 0""",
+        "select_query_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE list_contains(string_split(text, ' '), 'spark')
+              AND list_contains(string_split(text, ' '), 'merge')
+              AND n_chars > 300""",
+        "ft_near": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split(text,' '),
+                                          x -> x <> '') AS w
+                       FROM documents),
+            t AS (SELECT doc_id, unnest(range(len(w))) AS pos,
+                         unnest(w) AS term FROM d)
+            SELECT DISTINCT a.doc_id FROM t a JOIN t b
+              ON a.doc_id = b.doc_id AND a.term = 'spark'
+             AND b.term = 'merge' AND abs(a.pos - b.pos) <= 3""",
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
         "ft_multifield": _bm25f_sql(),
         "adjuster": _adjuster_sql(),

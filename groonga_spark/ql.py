@@ -37,6 +37,27 @@ class Prefix:
 
 
 @dataclass
+class Near:
+    """Near search (QL ``*N"a b"`` / ``*N5"a b"``) — all words present
+    with position span ≤ max_interval [G: grn_expr GRN_OP_NEAR;
+    TokenBigram near mode]. Default max interval 10, overridable with
+    digits after *N."""
+
+    text: str
+    max_interval: int = 10
+
+
+@dataclass
+class Similar:
+    """Similar search (QL ``*S"text"``) — approximated as an OR over the
+    text's tokens, BM25-ranked [G: GRN_OP_SIMILAR; the reference ranks by
+    shared high-IDF terms — our OR-of-terms scores the same docs with
+    summed BM25, documented approximation]."""
+
+    text: str
+
+
+@dataclass
 class And:
     children: list = field(default_factory=list)
 
@@ -117,6 +138,14 @@ def parse_query(q: str):
             return Phrase(val)
         if kind == "TERM":
             take()
+            # *N / *N<digits> / *S directly before a quoted phrase
+            import re as _re
+
+            m = _re.fullmatch(r"\*N(\d*)", val)
+            if m and peek()[0] == "PHRASE":
+                return Near(take()[1], int(m.group(1) or 10))
+            if val == "*S" and peek()[0] == "PHRASE":
+                return Similar(take()[1])
             if len(val) > 1 and val.endswith("*") and not val.endswith("\\*"):
                 return Prefix(val[:-1])
             return Term(val)
@@ -161,7 +190,7 @@ def query_terms(node) -> list[str]:
     """All raw term/phrase texts in the tree (for lexicon lookup)."""
     if node is None:
         return []
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Near, Similar)):
         return [node.text]
     if isinstance(node, Prefix):
         return []  # expanded separately (lexicon range scan)
@@ -177,6 +206,8 @@ def rewrite(node, fn):
         return None
     if isinstance(node, (Term, Phrase, Prefix)):
         return fn(node)
+    if isinstance(node, (Near, Similar)):
+        return node  # positional/similarity leaves pass through unrewritten
     if isinstance(node, Not):
         child = rewrite(node.child, fn)
         return Not(child) if child is not None else None

@@ -61,6 +61,43 @@ def script_to_sql(expr: str) -> str:
     return s
 
 
+_QUERY_CALL = re.compile(
+    r'query\(\s*("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')\s*,'
+    r'\s*("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')\s*\)'
+)
+
+
+def _rewrite_query_calls(df, flt: str, index, id_col: str):
+    """Script-embedded ``query("match_cols", "keywords")`` inside a filter
+    string [G: script-syntax query() in grn_expr]: each call evaluates
+    through the fulltext index and becomes a broadcast-joined membership
+    flag, so the surrounding boolean expression stays pure Catalyst.
+    match_cols passes through to a MultiFieldIndex; a single-field index
+    ignores it (it has exactly one match target)."""
+    flags: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        cols, q = m.group(1)[1:-1], m.group(2)[1:-1]
+        flag = f"_q{len(flags)}_match"
+        flags.append(flag)
+        nonlocal df
+        try:
+            matches = index.match_docs(q, match_columns=cols)
+        except TypeError:  # single-field index: one match target
+            matches = index.match_docs(q)
+        df = df.join(
+            matches.select(
+                F.col("doc_id").alias(id_col), F.lit(True).alias(flag)
+            ).dropDuplicates([id_col]),
+            id_col,
+            "left",
+        )
+        return f"coalesce({flag}, false)"
+
+    rewritten = _QUERY_CALL.sub(sub, flt)  # joins mutate df via nonlocal
+    return df, rewritten, flags
+
+
 _WINDOW_FNS = {
     "window_count": lambda args, w: F.count(F.lit(1)).over(w),
     "window_sum": lambda args, w: F.sum(args[0]).over(w),
@@ -234,7 +271,17 @@ def select(
         df = df.withColumn("_score", F.lit(0.0))
 
     if filter:
+        drop_flags: list[str] = []
+        if "query(" in filter:
+            if index is None:
+                raise ValueError('filter contains query(...) but index= '
+                                 'was not provided')
+            df, filter, drop_flags = _rewrite_query_calls(  # noqa: A001
+                df, filter, index, id_col
+            )
         df = df.filter(F.expr(script_to_sql(filter)))
+        if drop_flags:
+            df = df.drop(*drop_flags)
 
     # -- stage: columns[filtered]
     for name, spec in (columns or {}).items():

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from groonga_spark.codec import _segmented_cumsum, vb_decode
-from groonga_spark.ql import And, Not, Or, Phrase, Term
+from groonga_spark.ql import And, Near, Not, Or, Phrase, Similar, Term
 from groonga_spark.score import bm25
 
 
@@ -192,6 +192,31 @@ class SegmentQueryKernel:
             if len(tids) == 1:
                 return self._eval_single(tids[0])
             return self._eval_phrase(tids)
+        if isinstance(node, Near):
+            tids = self._leaf_tokens(node.text)
+            if not tids:
+                return empty
+            if len(set(tids)) == 1:
+                return self._eval_single(tids[0])
+            return self._eval_near(tids, node.max_interval)
+        if isinstance(node, Similar):
+            tids = self._leaf_tokens(node.text)
+            if not tids:
+                return empty
+            # OR over distinct tokens (sorted order → deterministic sums)
+            doc = np.empty(0, np.int64)
+            score = np.empty(0, np.float64)
+            for t in sorted(set(tids)):
+                d, s = self._eval_single(t)
+                if len(d) == 0:
+                    continue
+                merged = np.union1d(doc, d)
+                ms = np.zeros(len(merged), np.float64)
+                if len(doc):
+                    ms[np.searchsorted(merged, doc)] += score
+                ms[np.searchsorted(merged, d)] += s
+                doc, score = merged, ms
+            return doc, score
         if isinstance(node, And):
             return self._eval_and(node.children)
         if isinstance(node, Or):
@@ -248,6 +273,45 @@ class SegmentQueryKernel:
             if len(acc) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         docs_ok = np.unique(acc // KEY)
+        keep = np.isin(cand, docs_ok, assume_unique=True)
+        return cand[keep], score[keep]
+
+    def _eval_near(self, tids: list[int], max_interval: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """Near: every token present in the doc with an occurrence set
+        whose position span is ≤ max_interval. Exact check, vectorized:
+        a valid window exists iff SOME occurrence p (the window minimum)
+        has every token occurring in [p, p+N] — verified with one
+        searchsorted per token over (doc, pos)-encoded int64 keys.
+        Scores = summed member BM25 (same algebra as phrase)."""
+        cand, score = self._intersect_scored(tids)
+        if len(cand) == 0:
+            return cand, score
+        uniq = sorted(set(tids))
+        tps = [self.by_tid[t] for t in uniq]
+        arrays = []
+        max_pos = 0
+        for tp in tps:
+            rep, pos = tp.positions_arrays(cand)
+            arrays.append((rep, pos))
+            if len(pos):
+                max_pos = max(max_pos, int(pos.max()))
+        KEY = np.int64(1) << np.int64(
+            max(20, int(max_pos + max_interval).bit_length() + 1)
+        )
+        keys_u = [rep * KEY + pos for rep, pos in arrays]  # sorted (doc-major)
+        allp = np.concatenate(keys_u)
+        allp.sort(kind="stable")
+        ok = np.ones(len(allp), bool)
+        N = np.int64(max_interval)
+        for ku in keys_u:
+            idx = np.searchsorted(ku, allp, side="left")
+            has = idx < len(ku)
+            ki = ku[np.minimum(idx, len(ku) - 1)]
+            ok &= has & (ki <= allp + N) & (ki // KEY == allp // KEY)
+            if not ok.any():
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs_ok = np.unique(allp[ok] // KEY)
         keep = np.isin(cand, docs_ok, assume_unique=True)
         return cand[keep], score[keep]
 

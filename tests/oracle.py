@@ -13,7 +13,7 @@ from collections import Counter, defaultdict
 import numpy as np
 
 from groonga_spark.normalize import normalize_str
-from groonga_spark.ql import And, Not, Or, Phrase, Term, parse_query
+from groonga_spark.ql import And, Near, Not, Or, Phrase, Similar, Term, parse_query
 from groonga_spark.tokenize import tokenize_str
 
 K1, B = 1.2, 0.75
@@ -73,9 +73,51 @@ class OracleIndex:
                 out[d] += counts[t] * st[d]
         return dict(out)
 
+    def _near(self, text: str, max_interval: int) -> dict[int, float]:
+        toks = [t for t, _ in tokenize_str(normalize_str(text), self.mode)]
+        if not toks or any(t not in self.postings for t in toks):
+            return {}
+        base = self._leaf_docs_all(toks)
+        out = {}
+        for d, sco in base.items():
+            plists = [self.postings[t][d] for t in toks]
+            starts = sorted(p for pl in plists for p in pl)
+            for p in starts:
+                if all(any(p <= q <= p + max_interval for q in pl)
+                       for pl in plists):
+                    out[d] = sco
+                    break
+        return out
+
+    def _leaf_docs_all(self, toks) -> dict[int, float]:
+        """docs containing ALL tokens (no adjacency), scored like _leaf."""
+        from collections import Counter as _C
+
+        docsets = [set(self.postings[t]) for t in toks]
+        cand = set.intersection(*docsets)
+        counts = _C(toks)
+        out = defaultdict(float)
+        for t in sorted(counts):
+            st = self.score_term(t)
+            for d in cand:
+                out[d] += counts[t] * st[d]
+        return dict(out)
+
+    def _similar(self, text: str) -> dict[int, float]:
+        toks = [t for t, _ in tokenize_str(normalize_str(text), self.mode)]
+        acc = defaultdict(float)
+        for t in sorted(set(toks)):
+            for d, s in self.score_term(t).items():
+                acc[d] += s
+        return dict(acc)
+
     def eval(self, node) -> dict[int, float]:
         if node is None:
             return {}
+        if isinstance(node, Near):
+            return self._near(node.text, node.max_interval)
+        if isinstance(node, Similar):
+            return self._similar(node.text)
         if isinstance(node, (Term, Phrase)):
             return self._leaf(node.text)
         if isinstance(node, And):

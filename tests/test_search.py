@@ -458,3 +458,51 @@ def test_filtered_mode_index_rank_identity(spark, corpus, tmp_path):
             assert abs(gs - ws) <= 1e-6
     # stop words are unmatchable (dropped at both index and query time)
     assert idx.match_docs("the").count() == 0
+
+
+def test_near_operator(spark, tmp_path):
+    """*N"a b": all words present with position span <= max interval."""
+    rows = [
+        (0, "alpha x x x beta"),            # span 4
+        (1, "alpha x x x x x x x x x x beta"),  # span 11
+        (2, "beta x alpha"),                # span 2 (order-free)
+        (3, "alpha only here"),
+        (4, "beta only here"),
+        (5, "alpha beta adjacent"),
+        (6, "alpha x beta x gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_near")
+    build_index(spark, docs, path, mode="delimit", segment_size=100)
+    idx = FulltextIndex(spark, path)
+
+    got = {r["doc_id"] for r in idx.match_docs('*N4"alpha beta"').collect()}
+    assert got == {0, 2, 5, 6}
+    got10 = {r["doc_id"] for r in idx.match_docs('*N"alpha beta"').collect()}
+    assert got10 == {0, 2, 5, 6}          # default 10 < span 11
+    got11 = {r["doc_id"] for r in idx.match_docs('*N11"alpha beta"').collect()}
+    assert got11 == {0, 1, 2, 5, 6}
+    got3 = {r["doc_id"] for r in idx.match_docs('*N2"alpha beta gamma"').collect()}
+    assert got3 == set()                  # span(alpha..gamma)=4 in doc 6
+    got4 = {r["doc_id"] for r in idx.match_docs('*N4"alpha beta gamma"').collect()}
+    assert got4 == {6}
+    # composes with boolean algebra
+    gotb = {r["doc_id"] for r in
+            idx.match_docs('*N4"alpha beta" -gamma').collect()}
+    assert gotb == {0, 2, 5}
+
+
+def test_near_and_similar_vs_oracle(spark, corpus, tmp_path):
+    """Random-corpus near/similar vs the brute-force oracle."""
+    docs, rows = corpus
+    path = str(tmp_path / "idx_near_o")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+    orc = OracleIndex(rows, mode="delimit")
+    for q in ['*N"spark merge"', '*N3"spark merge"', '*N5"table scan"',
+              '*S"spark merge window"']:
+        got = [(r["doc_id"], r["score"]) for r in idx.search(q, 10).collect()]
+        want = orc.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6, q

@@ -141,3 +141,34 @@ def test_match_escalation(spark, docs, tmp_path):
                  output_columns=["doc_id"])
     n_prefix = idx.match_docs("spar*").count()
     assert res.n_hits == n_prefix > 0
+
+
+def test_script_embedded_query_in_filter(spark, tmp_path):
+    """filter='query("text","...") && <expr>' — the script-syntax query()
+    call evaluates through the index and composes with Catalyst."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.select import select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx_qf")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    with select(docs, index=idx,
+                filter='query("text", "spark merge") && n_chars > 300',
+                sort_keys="doc_id", limit=-1,
+                output_columns=["doc_id", "n_chars"]) as res:
+        got = {r["doc_id"] for r in res.hits.collect()}
+    m = {r["doc_id"] for r in idx.match_docs("spark merge").collect()}
+    want = {r["doc_id"] for r in
+            docs.filter("n_chars > 300").collect() if r["doc_id"] in m}
+    assert got == want and len(got) > 0
+    # OR-composes and negates
+    with select(docs, index=idx,
+                filter='query("text", "spark") || n_chars > 990',
+                limit=-1) as res2:
+        got2 = {r["doc_id"] for r in res2.hits.collect()}
+    ms = {r["doc_id"] for r in idx.match_docs("spark").collect()}
+    big = {r["doc_id"] for r in docs.filter("n_chars > 990").collect()}
+    assert got2 == ms | big
