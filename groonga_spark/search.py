@@ -34,12 +34,18 @@ from groonga_spark.wand import SegmentQueryKernel
 class FulltextIndex:
     """Query handle for an index built by build.build_index."""
 
+    #: max cached query results per handle (grn_cache default is 100)
+    RESULT_CACHE_MAX = 256
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.store = IndexStore(path)
         self.meta = self.store.read_meta()
         self._lex_cache: dict[str, tuple[int, float] | None] = {}
         self._postings_df: DataFrame | None = None
+        from collections import OrderedDict
+
+        self._result_cache: OrderedDict[tuple, pd.DataFrame] = OrderedDict()
 
     @property
     def postings(self) -> DataFrame:
@@ -249,16 +255,59 @@ class FulltextIndex:
         out = pd.DataFrame({"doc_id": doc, "score": score})
         return self.spark.createDataFrame(out, "doc_id long, score double")
 
+    # -- query result cache -------------------------------------------------
+    #
+    # The reference caches whole select outputs keyed by the request and
+    # clears the cache on table update [G: lib/cache.c · grn_cache_fetch /
+    # grn_cache_expire]. Here: an LRU of driver-local TOP-K results (tiny
+    # pandas frames) per handle, keyed by the query plus the index
+    # generation (meta mtime + tombstone file count — two stat calls), so
+    # deletes and compaction invalidate naturally. match_docs results are
+    # unbounded and never cached.
+
+    def _cache_generation(self) -> tuple:
+        gen_meta = os.path.getmtime(self.store.meta_path)
+        d = self.store.p("tombstones")
+        n_tomb = len(os.listdir(d)) if os.path.isdir(d) else 0
+        return (gen_meta, n_tomb)
+
+    def _result_cache_get(self, key: tuple) -> pd.DataFrame | None:
+        got = self._result_cache.get(key)
+        if got is not None:
+            self._result_cache.move_to_end(key)
+        return got
+
+    def _result_cache_put(self, key: tuple, pdf: pd.DataFrame) -> None:
+        self._result_cache[key] = pdf
+        self._result_cache.move_to_end(key)
+        while len(self._result_cache) > self.RESULT_CACHE_MAX:
+            self._result_cache.popitem(last=False)
+
     def search(self, query: str, k: int = 10,
                distributed: bool | None = None,
-               expansions: dict | None = None) -> DataFrame:
+               expansions: dict | None = None,
+               use_cache: bool = True) -> DataFrame:
         """BM25 top-k for a Groonga-QL query → DataFrame(doc_id, score),
         ordered by (score desc, doc_id asc).
 
         ``distributed=None`` auto-routes: small posting volumes run on
         the driver over a term_id-pruned pyarrow scan (identical kernel,
         no job latency); large ones fan out per (segment, shard).
-        ``expansions`` = synonym map (query_expand)."""
+        ``expansions`` = synonym map (query_expand). Driver-local top-k
+        results are served from the per-handle result cache unless
+        ``use_cache=False`` (invalidated by deletes/compaction)."""
+        cache_key = None
+        if use_cache and distributed is not True:
+            exp_key = (tuple(sorted((t, tuple(v)) for t, v in
+                                    expansions.items()))
+                       if expansions else None)
+            cache_key = (query, k, exp_key, distributed,
+                         self._cache_generation())
+            hit = self._result_cache_get(cache_key)
+            if hit is not None:
+                return self.spark.createDataFrame(
+                    hit, "doc_id long, score double"
+                )
         ast = self._expand_ast(parse_query(query), expansions)
         plan = self._plan(ast)
         spark = self.spark
@@ -272,8 +321,12 @@ class FulltextIndex:
                 tids, plan, force=(distributed is False)
             )
             if pdf is not None:
-                return self._run_local(pdf, ast, plan, self._stats(), k,
-                                       topk=True)
+                kernel = SegmentQueryKernel(pdf, plan, self._stats(), k)
+                doc, score = kernel.run(ast)
+                out = pd.DataFrame({"doc_id": doc, "score": score})
+                if cache_key is not None:
+                    self._result_cache_put(cache_key, out)
+                return spark.createDataFrame(out, empty_schema)
 
         stats = self._stats()
         bplan = spark.sparkContext.broadcast(plan)

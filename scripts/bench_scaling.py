@@ -63,19 +63,18 @@ def corpus_count(path: str) -> int:
 
 
 def run_level(corpus: str, cores: int, repeat: int = 1) -> dict:
-    """Best-of-``repeat`` spark-submit runs (peak throughput — the box is
-    shared, so a single run carries ±15% neighbor noise)."""
+    """Best-of-``repeat`` spark-submit runs WITHIN THIS INVOCATION.
+
+    The N→4N gate is computed from one ladder — same invocation, same
+    repeat count per level — so both sides of every ratio come from the
+    same noise window (the previous cross-invocation-peak gate compared
+    peaks with asymmetric sample counts). The best-observed cache is
+    still maintained, but only as a separately-labeled capability
+    figure in BENCH.md, never for the gate."""
     from groonga_spark.session import package_zip
 
     best = None
-    if repeat == 0:  # report-only: use best-observed cache
-        cache_path = os.path.join(
-            tempfile.gettempdir(),
-            f"gs_scaling_best_{os.path.basename(corpus)}.json",
-        )
-        with open(cache_path) as f:
-            return json.load(f)[str(cores)]
-    for _ in range(repeat):
+    for _ in range(max(repeat, 1)):
         out_json = tempfile.mktemp(suffix=f"_scale{cores}.json")
         cmd = [
             "spark-submit",
@@ -90,9 +89,12 @@ def run_level(corpus: str, cores: int, repeat: int = 1) -> dict:
             r = json.load(f)
         if best is None or r["build_s"] < best["build_s"]:
             best = r
-    # merge with best-observed across invocations: the sandbox has ±25%
-    # neighbor noise over long windows, so the PEAK per level is the
-    # honest capability number (methodology recorded in BENCH.md)
+    best["n_runs"] = max(repeat, 1)
+    _update_peak_cache(corpus, cores, best, max(repeat, 1))
+    return best
+
+
+def _update_peak_cache(corpus: str, cores: int, best: dict, n: int) -> None:
     cache_path = os.path.join(
         tempfile.gettempdir(), f"gs_scaling_best_{os.path.basename(corpus)}.json"
     )
@@ -102,13 +104,22 @@ def run_level(corpus: str, cores: int, repeat: int = 1) -> dict:
             cache = json.load(f)
     key = str(cores)
     prev = cache.get(key)
-    n_observed = (prev.get("n_observed", 0) if prev else 0) + repeat
+    n_observed = (prev.get("n_observed", 0) if prev else 0) + n
     if prev is None or best["build_s"] < prev["build_s"]:
-        cache[key] = best
+        cache[key] = dict(best)
     cache[key]["n_observed"] = n_observed
     with open(cache_path, "w") as f:
         json.dump(cache, f)
-    return cache[key]
+
+
+def read_peak_cache(corpus: str) -> dict:
+    cache_path = os.path.join(
+        tempfile.gettempdir(), f"gs_scaling_best_{os.path.basename(corpus)}.json"
+    )
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return json.load(f)
+    return {}
 
 
 def main() -> None:
@@ -121,7 +132,9 @@ def main() -> None:
 
     levels = [int(x) for x in args.pairs.split(",")]
     corpus, n_docs = make_corpus(args.sf_dir, args.mult)
+    # one ladder, same repeat per level — the gate's sole input
     results = {c: run_level(corpus, c, args.repeat) for c in levels}
+    peaks = read_peak_cache(corpus)
 
     def eff(lo: int, hi: int) -> float:
         return round(
@@ -131,10 +144,12 @@ def main() -> None:
         )
 
     report = {
-        "protocol": "spark-submit --py-files, same input, multiple "
-                    "parallelism levels, best-of-%d" % args.repeat,
+        "protocol": "spark-submit --py-files, same input, one ladder, "
+                    "best-of-%d per level (gate); cross-invocation peaks "
+                    "reported separately" % args.repeat,
         "n_docs": n_docs,
         "levels": results,
+        "peak_levels": peaks,
         "efficiency": {
             f"{lo}->{hi}": eff(lo, hi)
             for lo in levels for hi in levels
@@ -167,11 +182,13 @@ def write_bench_md(r: dict) -> None:
         "path). Input: sf0.1 documents deterministically replicated to",
         f"{r['n_docs']:,} docs (compute-bound regime).",
         "",
-        "Methodology: BEST-observed wall clock per level across repeated",
-        "runs (n in the table) — this shared sandbox shows ±25% neighbor",
-        "noise between runs (one ladder measured 4→8 'efficiency' 1.09,",
-        "i.e. super-linear, purely from noise), so peak throughput is the",
-        "honest capability figure.",
+        "Methodology: the N→4N GATE comes from ONE ladder — a single",
+        "invocation with the same best-of-n per level — so both sides of",
+        "every ratio share a noise window. The separately-labeled peak",
+        "table is the best wall clock ever observed per level across",
+        "invocations (this shared sandbox shows ±25% neighbor noise; one",
+        "ladder once measured 4→8 'efficiency' 1.09, i.e. super-linear,",
+        "purely from noise) — a capability figure, never the gate input.",
         "",
         "Host caveat (measured): the box reports 32 logical CPUs but a",
         "pure-CPU multiprocessing probe sustains only ≈7.2× one core at 8",
@@ -188,7 +205,16 @@ def write_bench_md(r: dict) -> None:
             f"| local[{c}] | {v['build_s']} | {v['build_docs_per_sec']} |"
             f" {v['query_total_s']} | {v.get('n_observed', 1)} |"
         )
-    lines += ["", "Scaling efficiency (thr_hi / ((hi/lo)·thr_lo)):", ""]
+    if r.get("peak_levels"):
+        lines += ["", "Cross-invocation PEAK throughput (capability figure,",
+                  "not the gate input):", "",
+                  "| cores | best build s | docs/sec | total runs |",
+                  "|---|---|---|---|"]
+        for c, v in sorted(r["peak_levels"].items(), key=lambda kv: int(kv[0])):
+            lines.append(
+                f"| local[{c}] | {v['build_s']} | {v['build_docs_per_sec']} |"
+                f" {v.get('n_observed', 1)} |")
+    lines += ["", "Scaling efficiency, single-ladder (thr_hi / ((hi/lo)·thr_lo)):", ""]
     for pair, e in r["efficiency"].items():
         lines.append(f"- {pair} cores: **{e}**")
     if "gate_N_to_4N" in r:

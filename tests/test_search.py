@@ -506,3 +506,38 @@ def test_near_and_similar_vs_oracle(spark, corpus, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) <= 1e-6, q
+
+
+def test_query_result_cache(spark, corpus, tmp_path):
+    """Driver-local top-k results come from the per-handle LRU on repeat;
+    deletes invalidate via the tombstone generation (grn_cache model)."""
+    from groonga_spark.wand import SegmentQueryKernel
+
+    docs, _ = corpus
+    path = str(tmp_path / "idx_qc")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    calls = {"n": 0}
+    orig = SegmentQueryKernel.run
+
+    def spy(self, ast, _o=orig, _c=calls):
+        _c["n"] += 1
+        return _o(self, ast)
+
+    SegmentQueryKernel.run = spy
+    try:
+        a = [(r["doc_id"], r["score"]) for r in idx.search("spark merge", 10).collect()]
+        n1 = calls["n"]
+        b = [(r["doc_id"], r["score"]) for r in idx.search("spark merge", 10).collect()]
+        assert calls["n"] == n1          # second call served from cache
+        assert a == b
+        c = [(r["doc_id"], r["score"]) for r in
+             idx.search("spark merge", 10, use_cache=False).collect()]
+        assert calls["n"] == n1 + 1 and c == a
+        idx.delete_docs([a[0][0]])
+        d = [(r["doc_id"], r["score"]) for r in idx.search("spark merge", 10).collect()]
+        assert calls["n"] == n1 + 2      # generation changed → recompute
+        assert a[0][0] not in [x for x, _ in d]
+    finally:
+        SegmentQueryKernel.run = orig
