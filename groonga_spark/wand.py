@@ -239,41 +239,82 @@ class SegmentQueryKernel:
         d, _ = self.eval(node)
         return d
 
+    def _phrase_checker(self, tids: list[int]):
+        """→ check(cand) -> bool mask: positional adjacency, fully
+        vectorized — encode (doc, pos − i) as one int64 key per
+        occurrence of token i; a doc matches the phrase iff some key
+        survives the intersection of all tokens' key sets (the
+        reference's ngram-adjacency check without the per-doc loop). The
+        position field is sized from the actual max position (≥20 bits),
+        so pathological million-token docs can't alias keys."""
+        tps = [self.by_tid[t] for t in tids]
+
+        def check(cand: np.ndarray) -> np.ndarray:
+            arrays = []
+            max_pos = 0
+            for i, tp in enumerate(tps):
+                rep, pos = tp.positions_arrays(cand)
+                arrays.append((i, rep, pos))
+                if len(pos):
+                    max_pos = max(max_pos, int(pos.max()))
+            KEY = np.int64(1) << np.int64(max(20, max_pos.bit_length() + 1))
+            acc = None
+            for i, rep, pos in arrays:
+                sel = pos >= i
+                keys = rep[sel] * KEY + (pos[sel] - i)
+                acc = keys if acc is None else np.intersect1d(
+                    acc, keys, assume_unique=True
+                )
+                if len(acc) == 0:
+                    return np.zeros(len(cand), bool)
+            docs_ok = np.unique(acc // KEY)
+            return np.isin(cand, docs_ok, assume_unique=True)
+
+        return check
+
+    def _near_checker(self, tids: list[int], max_interval: int):
+        """→ check(cand) -> bool mask: the exact near-window test (see
+        _eval_near)."""
+        uniq = sorted(set(tids))
+        tps = [self.by_tid[t] for t in uniq]
+
+        def check(cand: np.ndarray) -> np.ndarray:
+            arrays = []
+            max_pos = 0
+            for tp in tps:
+                rep, pos = tp.positions_arrays(cand)
+                arrays.append((rep, pos))
+                if len(pos):
+                    max_pos = max(max_pos, int(pos.max()))
+            KEY = np.int64(1) << np.int64(
+                max(20, int(max_pos + max_interval).bit_length() + 1)
+            )
+            keys_u = [rep * KEY + pos for rep, pos in arrays]
+            allp = np.concatenate(keys_u)
+            allp.sort(kind="stable")
+            ok = np.ones(len(allp), bool)
+            N = np.int64(max_interval)
+            for ku in keys_u:
+                idx = np.searchsorted(ku, allp, side="left")
+                has = idx < len(ku)
+                ki = ku[np.minimum(idx, len(ku) - 1)]
+                ok &= has & (ki <= allp + N) & (ki // KEY == allp // KEY)
+                if not ok.any():
+                    return np.zeros(len(cand), bool)
+            docs_ok = np.unique(allp[ok] // KEY)
+            return np.isin(cand, docs_ok, assume_unique=True)
+
+        return check
+
     def _eval_phrase(self, tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
         """Adjacent-position AND over the token sequence; score = sum of
         the member tokens' BM25 (term-id order), like ngram query eval."""
-        tps = [self.by_tid.get(t) for t in tids]
-        if any(t is None for t in tps):
+        if any(self.by_tid.get(t) is None for t in tids):
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand, score = self._intersect_scored(tids)
         if len(cand) == 0:
             return cand, score
-        # positional adjacency, fully vectorized: encode (doc, pos − i) as
-        # one int64 key per occurrence of token i; a doc matches the
-        # phrase iff some key survives the intersection of all tokens'
-        # key sets (the reference's ngram-adjacency check without the
-        # per-doc loop). The position field is sized from the actual max
-        # position (≥20 bits), so pathological million-token docs can't
-        # alias keys; doc ids use the remaining bits.
-        arrays = []
-        max_pos = 0
-        for i, tp in enumerate(tps):
-            rep, pos = tp.positions_arrays(cand)
-            arrays.append((i, rep, pos))
-            if len(pos):
-                max_pos = max(max_pos, int(pos.max()))
-        KEY = np.int64(1) << np.int64(max(20, max_pos.bit_length() + 1))
-        acc = None
-        for i, rep, pos in arrays:
-            sel = pos >= i
-            keys = rep[sel] * KEY + (pos[sel] - i)
-            acc = keys if acc is None else np.intersect1d(
-                acc, keys, assume_unique=True
-            )
-            if len(acc) == 0:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-        docs_ok = np.unique(acc // KEY)
-        keep = np.isin(cand, docs_ok, assume_unique=True)
+        keep = self._phrase_checker(tids)(cand)
         return cand[keep], score[keep]
 
     def _eval_near(self, tids: list[int], max_interval: int
@@ -287,32 +328,7 @@ class SegmentQueryKernel:
         cand, score = self._intersect_scored(tids)
         if len(cand) == 0:
             return cand, score
-        uniq = sorted(set(tids))
-        tps = [self.by_tid[t] for t in uniq]
-        arrays = []
-        max_pos = 0
-        for tp in tps:
-            rep, pos = tp.positions_arrays(cand)
-            arrays.append((rep, pos))
-            if len(pos):
-                max_pos = max(max_pos, int(pos.max()))
-        KEY = np.int64(1) << np.int64(
-            max(20, int(max_pos + max_interval).bit_length() + 1)
-        )
-        keys_u = [rep * KEY + pos for rep, pos in arrays]  # sorted (doc-major)
-        allp = np.concatenate(keys_u)
-        allp.sort(kind="stable")
-        ok = np.ones(len(allp), bool)
-        N = np.int64(max_interval)
-        for ku in keys_u:
-            idx = np.searchsorted(ku, allp, side="left")
-            has = idx < len(ku)
-            ki = ku[np.minimum(idx, len(ku) - 1)]
-            ok &= has & (ki <= allp + N) & (ki // KEY == allp // KEY)
-            if not ok.any():
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-        docs_ok = np.unique(allp[ok] // KEY)
-        keep = np.isin(cand, docs_ok, assume_unique=True)
+        keep = self._near_checker(tids, max_interval)(cand)
         return cand[keep], score[keep]
 
     # --- boolean combinators ------------------------------------------------
@@ -461,39 +477,48 @@ class SegmentQueryKernel:
 
     def _topk_interval_pruned(
         self,
-        tids_ordered: list[int],
-        weights: list[float],
+        groups: list[list[tuple[int, float]]],
         mode: str,
         neg_docs: np.ndarray | None = None,
+        neg_tids: list[int] | None = None,
+        post_filter=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """``mode`` 'or': per-doc score = Σ contributions in tids_ordered
-        (child) order — the exhaustive _eval_or summation order.  'and':
-        docs must match every term; score = Σ weight·bm25 in tids_ordered
-        (sorted-unique) order — the exhaustive _intersect_scored order."""
+        """Interval-pruned top-k over ``groups`` of weighted tokens.
+
+        ``mode`` 'or': one group; per-doc score = Σ member contributions
+        in member order (the exhaustive _eval_or incremental-union
+        summation order). ``mode`` 'and': a doc must match EVERY group
+        (within a group, any member — the OR-of-terms AND-child shape);
+        per-group scores aggregate in member order, then add across
+        groups in group order — exactly the exhaustive _eval_and
+        sequence (fused callers pass sorted-unique single-member groups
+        with dup-count weights to match _intersect_scored)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        tps = [self.by_tid[t] for t in tids_ordered]
-        nt = len(tps)
-        lo_l = [tp.blocks["min_doc_id"].to_numpy(np.int64) for tp in tps]
-        hi_l = [tp.blocks["max_doc_id"].to_numpy(np.int64) for tp in tps]
-        ub_l = [tp.block_bounds(self.stats) * w
-                for tp, w in zip(tps, weights)]
-        bounds = np.unique(np.concatenate(lo_l + [h + 1 for h in hi_l]))
+        uniq_tids = sorted({t for g in groups for t, _ in g})
+        tps = {t: self.by_tid[t] for t in uniq_tids}
+        lo_d = {t: tps[t].blocks["min_doc_id"].to_numpy(np.int64)
+                for t in uniq_tids}
+        hi_d = {t: tps[t].blocks["max_doc_id"].to_numpy(np.int64)
+                for t in uniq_tids}
+        ub_d = {t: tps[t].block_bounds(self.stats) for t in uniq_tids}
+        bounds = np.unique(np.concatenate(
+            [lo_d[t] for t in uniq_tids]
+            + [hi_d[t] + 1 for t in uniq_tids]
+        ))
         n_int = len(bounds) - 1
         if n_int <= 0:
             return empty
-        total_ub = np.zeros(n_int, np.float64)
-        covered_all = np.ones(n_int, bool)
-        blk_of_int = []  # per term: interval → covering block row (-1 none)
-        for ti in range(nt):
-            s_idx = np.searchsorted(bounds, lo_l[ti])
-            e_idx = np.searchsorted(bounds, hi_l[ti] + 1)
+
+        # per-token interval structures (shared across groups)
+        blk_of_int: dict[int, np.ndarray] = {}
+        iub_d: dict[int, np.ndarray] = {}
+        for t in uniq_tids:
+            s_idx = np.searchsorted(bounds, lo_d[t])
+            e_idx = np.searchsorted(bounds, hi_d[t] + 1)
             diff = np.zeros(n_int + 1, np.float64)
-            np.add.at(diff, s_idx, ub_l[ti])
-            np.add.at(diff, e_idx, -ub_l[ti])
-            iub = np.cumsum(diff[:n_int])
-            total_ub += iub
-            if mode == "and":
-                covered_all &= iub > 0
+            np.add.at(diff, s_idx, ub_d[t])
+            np.add.at(diff, e_idx, -ub_d[t])
+            iub_d[t] = np.cumsum(diff[:n_int])
             counts = e_idx - s_idx
             blk = np.full(n_int, -1, np.int64)
             starts = np.repeat(s_idx, counts)
@@ -503,7 +528,17 @@ class SegmentQueryKernel:
             blk[starts + offs] = np.repeat(
                 np.arange(len(counts), dtype=np.int64), counts
             )
-            blk_of_int.append(blk)
+            blk_of_int[t] = blk
+
+        total_ub = np.zeros(n_int, np.float64)
+        covered_all = np.ones(n_int, bool)
+        for g in groups:
+            g_ub = np.zeros(n_int, np.float64)
+            for t, w in g:
+                g_ub += w * iub_d[t]
+            total_ub += g_ub
+            if mode == "and":
+                covered_all &= g_ub > 0
         if mode == "and":
             total_ub[~covered_all] = 0.0
         order = np.argsort(-total_ub, kind="stable")
@@ -511,19 +546,77 @@ class SegmentQueryKernel:
         if len(order) == 0:
             return empty
 
-        decoded: list[dict[int, tuple]] = [dict() for _ in range(nt)]
+        decoded: dict[tuple[int, int], tuple] = {}
 
-        def _block(ti: int, b: int):
+        def _block(t: int, b: int):
             """Decoded (doc, score, interval_id) of one block, memoized."""
-            got = decoded[ti].get(b)
+            got = decoded.get((t, b))
             if got is None:
-                d, tf, dl = tps[ti].decode_idx(np.asarray([b], np.int64))
-                s = bm25(tf, dl, tps[ti].df, self.stats["n_docs"],
+                d, tf, dl = tps[t].decode_idx(np.asarray([b], np.int64))
+                s = bm25(tf, dl, tps[t].df, self.stats["n_docs"],
                          self.stats["avgdl"], self.stats["k1"],
                          self.stats["b"])
                 iid = np.searchsorted(bounds, d, side="right") - 1
-                got = decoded[ti][b] = (d, s, iid)
+                got = decoded[(t, b)] = (d, s, iid)
             return got
+
+        def _group_docs_scores(g, chunk, in_chunk):
+            """(sorted docs, aggregated scores) of one group within the
+            chunk's intervals — member contributions added in member
+            order per doc (np.add.at operand order)."""
+            d_parts, s_parts = [], []
+            for t, w in g:
+                need = np.unique(blk_of_int[t][chunk])
+                for b in need[need >= 0].tolist():
+                    d, s, iid = _block(t, b)
+                    m = in_chunk[iid]
+                    if m.any():
+                        d_parts.append(d[m])
+                        s_parts.append(w * s[m] if w != 1.0 else s[m])
+            if not d_parts:
+                return None
+            docs_all = np.concatenate(d_parts)
+            uniq_docs, inv = np.unique(docs_all, return_inverse=True)
+            agg = np.zeros(len(uniq_docs), np.float64)
+            np.add.at(agg, inv, np.concatenate(s_parts))
+            return uniq_docs, agg
+
+        # candidate-driven NOT: single-token negative terms decode only
+        # blocks overlapping surviving candidates, chunk by chunk (a huge
+        # neg term never fully decodes); complex negs arrive pre-decoded
+        # in neg_docs
+        neg_state = []
+        for t in (neg_tids or []):
+            tp = self.by_tid.get(t)
+            if tp is not None:
+                neg_state.append((
+                    tp,
+                    tp.blocks["min_doc_id"].to_numpy(np.int64),
+                    tp.blocks["max_doc_id"].to_numpy(np.int64),
+                    {},
+                ))
+
+        def _neg_mask(cand: np.ndarray) -> np.ndarray:
+            keep = np.ones(len(cand), bool)
+            if neg_docs is not None:
+                keep &= ~np.isin(cand, neg_docs, assume_unique=True)
+            for tp, nlo, nhi, memo in neg_state:
+                left = np.searchsorted(cand, nlo, side="left")
+                hit = (left < len(cand)) & (
+                    cand[np.minimum(left, len(cand) - 1)] <= nhi
+                )
+                parts = []
+                for b in np.flatnonzero(hit).tolist():
+                    d = memo.get(b)
+                    if d is None:
+                        d = memo[b] = tp.decode_idx(
+                            np.asarray([b], np.int64)
+                        )[0]
+                    parts.append(d)
+                if parts:
+                    nd = np.concatenate(parts)  # blocks disjoint+sorted
+                    keep &= ~np.isin(cand, nd, assume_unique=True)
+            return keep
 
         k = self.k
         run_doc = np.empty(0, np.int64)
@@ -538,58 +631,39 @@ class SegmentQueryKernel:
             i += CHUNK
             in_chunk[:] = False
             in_chunk[chunk] = True
-            if mode == "or":
-                d_parts, s_parts = [], []
-                for ti in range(nt):
-                    need = np.unique(blk_of_int[ti][chunk])
-                    for b in need[need >= 0].tolist():
-                        d, s, iid = _block(ti, b)
-                        m = in_chunk[iid]
-                        if m.any():
-                            d_parts.append(d[m])
-                            s_parts.append(s[m])
-                if not d_parts:
+            per_group = []
+            ok = True
+            for g in groups:
+                got = _group_docs_scores(g, chunk, in_chunk)
+                if got is None:
+                    ok = False
+                    break
+                per_group.append(got)
+            if not ok:
+                if mode == "or":
                     continue
-                docs_all = np.concatenate(d_parts)
-                uniq_docs, inv = np.unique(docs_all, return_inverse=True)
-                agg = np.zeros(len(uniq_docs), np.float64)
-                # np.add.at applies in operand order == term-child order
-                # per doc — the exhaustive OR's summation order
-                np.add.at(agg, inv, np.concatenate(s_parts))
-                cand, cscore = uniq_docs, agg
-            else:  # and
-                per_d, per_s = [], []
-                ok = True
-                for ti in range(nt):
-                    need = np.unique(blk_of_int[ti][chunk])
-                    parts_d, parts_s = [], []
-                    for b in need[need >= 0].tolist():
-                        d, s, iid = _block(ti, b)
-                        m = in_chunk[iid]
-                        parts_d.append(d[m])
-                        parts_s.append(s[m])
-                    if parts_d:
-                        per_d.append(np.concatenate(parts_d))
-                        per_s.append(np.concatenate(parts_s))
-                    else:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                cand = per_d[0]
-                for ti in range(1, nt):
-                    if len(cand) == 0:
-                        break
-                    cand = cand[np.isin(cand, per_d[ti], assume_unique=True)]
+                continue  # and: a group matched nothing in these intervals
+            cand = per_group[0][0]
+            for gd, _ in per_group[1:]:
                 if len(cand) == 0:
-                    continue
-                cscore = np.zeros(len(cand), np.float64)
-                for ti in range(nt):  # sorted-unique-tid order (determinism)
-                    ix = np.searchsorted(per_d[ti], cand)
-                    # weight = dup count (exhaustive: c[t]·bm25, then add)
-                    cscore += weights[ti] * per_s[ti][ix]
-            if neg_docs is not None and len(cand):
-                keep = ~np.isin(cand, neg_docs, assume_unique=True)
+                    break
+                cand = cand[np.isin(cand, gd, assume_unique=True)]
+            if len(cand) == 0:
+                continue
+            # scores add across groups in group order (exhaustive order)
+            cscore = per_group[0][1][
+                np.searchsorted(per_group[0][0], cand)
+            ].copy()
+            for gd, gs in per_group[1:]:
+                cscore += gs[np.searchsorted(gd, cand)]
+            if (neg_docs is not None or neg_state) and len(cand):
+                keep = _neg_mask(cand)
+                cand, cscore = cand[keep], cscore[keep]
+            if post_filter is not None and len(cand):
+                # positional verification (phrase adjacency / near
+                # window) on surviving candidates only — position blocks
+                # decode candidate-driven, never exhaustively
+                keep = post_filter(cand)
                 cand, cscore = cand[keep], cscore[keep]
             if len(cand) == 0:
                 continue
@@ -600,60 +674,131 @@ class SegmentQueryKernel:
                 run_doc, run_score = _topk(run_doc, run_score, k)
         return _topk(run_doc, run_score, k)
 
-    def _pruned_multi(self, ast):
-        """Route AND/OR roots over single-token leaves to the interval
-        pruner; None → caller falls back to the exhaustive path."""
-        if isinstance(ast, Or):
-            toks = []
-            for c in ast.children:
-                if not isinstance(c, (Term, Phrase)):
-                    return None
-                tids = self._leaf_tokens(c.text)
-                if not tids:  # unknown/empty leaf contributes nothing
-                    continue
-                if len(tids) != 1:
-                    return None  # phrase member → exhaustive
+    def _or_members(self, children) -> list[int] | None | tuple:
+        """Or children → member tids in child order. None → shape not
+        pruneable (fall back); empty list → no live member."""
+        toks = []
+        for c in children:
+            if not isinstance(c, (Term, Phrase)):
+                return None
+            tids = self._leaf_tokens(c.text)
+            if not tids:  # unknown/empty leaf contributes nothing
+                continue
+            if len(tids) != 1:
+                return None  # phrase member → exhaustive
+            if tids[0] in self.by_tid:
                 toks.append(tids[0])
-            toks = [t for t in toks if t in self.by_tid]
+        return toks
+
+    def _pruned_multi(self, ast):
+        """Route AND/OR roots over single-token leaves (AND children may
+        themselves be ORs of single-token leaves — the `(a OR b) -c`
+        shape) to the interval pruner; None → exhaustive fallback."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if isinstance(ast, (Phrase, Term, Near)):
+            # multi-token phrase (or near) root: interval-pruned AND over
+            # the member tokens with a positional post-filter; the AND
+            # bound dominates the phrase/near score (same member sum)
+            tids = self._leaf_tokens(ast.text)
+            if not tids:
+                return empty
+            if isinstance(ast, Near) and len(set(tids)) == 1:
+                # exhaustive Near degenerates to a single-term eval
+                return self._topk_single_pruned(tids[0])
+            if len(tids) < 2:
+                return None  # single-token Term/Phrase handled by run()
+            from collections import Counter
+
+            cnt = Counter(tids)
+            if any(t not in self.by_tid for t in cnt):
+                return empty
+            groups = [[(t, float(cnt[t]))] for t in sorted(cnt)]
+            if isinstance(ast, Near):
+                pf = self._near_checker(tids, ast.max_interval)
+            else:
+                pf = self._phrase_checker(tids)
+            return self._topk_interval_pruned(groups, "and",
+                                              post_filter=pf)
+        if isinstance(ast, Or):
+            toks = self._or_members(ast.children)
+            if toks is None:
+                return None
             if not toks:
-                return (np.empty(0, np.int64), np.empty(0, np.float64))
-            if len(set(toks)) != len(toks):
-                return None  # duplicate term: float sum order differs
+                return empty
             if len(toks) == 1:
                 return self._topk_single_pruned(toks[0])
             return self._topk_interval_pruned(
-                toks, [1.0] * len(toks), "or"
+                [[(t, 1.0) for t in toks]], "or"
             )
         if isinstance(ast, And):
             pos = [c for c in ast.children if not isinstance(c, Not)]
             neg = [c.child for c in ast.children if isinstance(c, Not)]
-            tids = []
-            for c in pos:
-                if not isinstance(c, (Term, Phrase)):
-                    return None
-                t = self._leaf_tokens(c.text)
-                if not t:  # AND with an unmatchable leaf → empty
-                    return (np.empty(0, np.int64), np.empty(0, np.float64))
-                if len(t) != 1:
-                    return None
-                tids.append(t[0])
-            if not tids:
+            if not pos:
                 return None
-            from collections import Counter
+            fused_tids = []
+            fused = True
+            for c in pos:
+                if isinstance(c, (Term, Phrase)):
+                    t = self._leaf_tokens(c.text)
+                    if not t:  # AND with an unmatchable leaf → empty
+                        return empty
+                    if len(t) == 1:
+                        fused_tids.append(t[0])
+                        continue
+                fused = False
+                break
+            if fused:
+                # all-single-token AND: sorted-unique groups with dup
+                # weights — the exhaustive _intersect_scored order
+                from collections import Counter
 
-            cnt = Counter(tids)
-            uniq = sorted(cnt)
-            if any(t not in self.by_tid for t in uniq):
-                return (np.empty(0, np.int64), np.empty(0, np.float64))
+                cnt = Counter(fused_tids)
+                if any(t not in self.by_tid for t in cnt):
+                    return empty
+                groups = [[(t, float(cnt[t]))] for t in sorted(cnt)]
+            else:
+                # general shape: each positive child is a single-token
+                # leaf or an OR of single-token leaves; groups add in
+                # child order — the exhaustive non-fused _eval_and order
+                groups = []
+                for c in pos:
+                    if isinstance(c, (Term, Phrase)):
+                        t = self._leaf_tokens(c.text)
+                        if not t:
+                            return empty
+                        if len(t) != 1:
+                            return None  # phrase child → exhaustive
+                        if t[0] not in self.by_tid:
+                            return empty
+                        groups.append([(t[0], 1.0)])
+                    elif isinstance(c, Or):
+                        mem = self._or_members(c.children)
+                        if mem is None:
+                            return None
+                        if not mem:
+                            return empty  # OR child matches nothing
+                        groups.append([(t, 1.0) for t in mem])
+                    else:
+                        return None
             neg_docs = None
-            if neg:
+            neg_tids: list[int] = []
+            complex_negs = []
+            for n in neg:
+                t = (self._leaf_tokens(n.text)
+                     if isinstance(n, (Term, Phrase)) else None)
+                if t is not None and len(t) == 1:
+                    neg_tids.append(t[0])  # candidate-driven masking
+                elif t is not None and len(t) == 0:
+                    continue  # unmatchable neg removes nothing
+                else:
+                    complex_negs.append(n)
+            if complex_negs:
                 nd = np.empty(0, np.int64)
-                for n in neg:
+                for n in complex_negs:
                     nd = np.union1d(nd, self._docs_only(n))
                 neg_docs = nd
-            return self._topk_interval_pruned(
-                uniq, [float(cnt[t]) for t in uniq], "and", neg_docs
-            )
+            return self._topk_interval_pruned(groups, "and", neg_docs,
+                                              neg_tids)
         return None
 
     def run(self, ast) -> tuple[np.ndarray, np.ndarray]:

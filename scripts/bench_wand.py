@@ -1,0 +1,185 @@
+"""Multi-term block-max WAND pruning benchmark on a ≥2M-doc index.
+
+Measures the interval block-max pruned top-k path (wand.SegmentQueryKernel
+.run) against the exhaustive path (eval + topk) for the reference query
+shapes, kernel-level (both sides share the same pyarrow-pruned block
+scan), plus decoded-block counts from a decode spy. Appends a marked
+section to BENCH.md and writes BENCH_WAND.json.
+
+Corpus: sf0.1 documents deterministically replicated (bench_scaling's
+make_corpus) — replicas of one source doc are doc-id-contiguous, so
+block upper bounds inherit the corpus's tf/dl variance and pruning has
+real structure to exploit (as on natural data).
+
+Usage: python scripts/bench_wand.py [--mult 400] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+QUERIES = [
+    ("q_head_term", "table"),
+    ("q_and2", "spark merge"),
+    ("q_and3", "table row fast"),
+    ("q_or", "spark OR stream"),
+    ("q_or3", "spark OR stream OR vector"),
+    ("q_not", "(table OR merge) -slow"),
+    ("q_phrase", '"spark fast"'),
+]
+
+MARK_BEGIN = "<!-- bench_wand:begin -->"
+MARK_END = "<!-- bench_wand:end -->"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=400)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+
+    from bench_scaling import make_corpus
+
+    from groonga_spark.build import build_index
+    from groonga_spark.ql import parse_query
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.session import get_spark
+    from groonga_spark.wand import SegmentQueryKernel, TermPostings, _topk
+
+    corpus, n_docs = make_corpus("/root/testdata/sf0.1", args.mult)
+    idx_path = os.path.join(tempfile.gettempdir(),
+                            f"gs_wand_idx_{args.mult}")
+    meta_path = os.path.join(idx_path, "meta.json")
+    stale = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = json.load(f)
+        stale = "max_doc_id" not in m
+
+    spark = get_spark("bench_wand", master="local[8]", shuffle_partitions=32)
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx_path, ignore_errors=True)
+        docs = spark.read.parquet(corpus)
+        t0 = time.time()
+        build_index(spark, docs, idx_path, mode="delimit", resume=False)
+        print(f"built {n_docs} docs in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    idx = FulltextIndex(spark, idx_path)
+
+    results = {}
+    for name, q in QUERIES:
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        stats = idx._stats()
+
+        def kernel():
+            return SegmentQueryKernel(pdf, plan, stats, args.k)
+
+        def spy_decodes(fn):
+            counts = {"blocks": 0}
+            orig = TermPostings.decode_idx
+
+            def spy(self, idx_arr, _c=counts, _o=orig):
+                _c["blocks"] += len(idx_arr)
+                return _o(self, idx_arr)
+
+            TermPostings.decode_idx = spy
+            try:
+                out = fn()
+            finally:
+                TermPostings.decode_idx = orig
+            return out, counts["blocks"]
+
+        # warm + rank-identity safety check
+        (pr_doc, pr_sco), blk_pruned = spy_decodes(lambda: kernel().run(ast))
+        (ex_d, ex_s), blk_exh = spy_decodes(
+            lambda: _topk(*kernel().eval(ast), args.k)
+        )
+        assert (pr_doc == ex_d).all() and (pr_sco == ex_s).all(), name
+
+        t_pruned = min(
+            _time(lambda: kernel().run(ast)) for _ in range(args.repeat)
+        )
+        t_exh = min(
+            _time(lambda: _topk(*kernel().eval(ast), args.k))
+            for _ in range(args.repeat)
+        )
+        results[name] = {
+            "query": q,
+            "pruned_s": round(t_pruned, 4),
+            "exhaustive_s": round(t_exh, 4),
+            "speedup": round(t_exh / t_pruned, 2) if t_pruned else None,
+            "blocks_pruned_path": blk_pruned,
+            "blocks_exhaustive": blk_exh,
+            "blocks_skipped_pct": round(
+                100.0 * (1 - blk_pruned / blk_exh), 1
+            ) if blk_exh else 0.0,
+        }
+        print(f"{name}: pruned {t_pruned:.4f}s vs exhaustive {t_exh:.4f}s "
+              f"({results[name]['speedup']}x), blocks {blk_pruned}/{blk_exh}",
+              file=sys.stderr)
+
+    out = {"n_docs": n_docs, "k": args.k, "queries": results}
+    with open(os.path.join(REPO, "BENCH_WAND.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    _append_bench_md(out)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _time(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def _append_bench_md(out: dict) -> None:
+    lines = [
+        MARK_BEGIN,
+        "",
+        "## Multi-term block-max WAND pruning "
+        f"({out['n_docs']:,}-doc index, k={out['k']})",
+        "",
+        "Kernel-level timing (both paths share the same pyarrow-pruned",
+        "block scan), best-of-3; results asserted bit-identical first.",
+        "",
+        "| query | pruned s | exhaustive s | speedup | blocks decoded |"
+        " skipped |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in out["queries"].items():
+        lines.append(
+            f"| {name} (`{r['query']}`) | {r['pruned_s']} |"
+            f" {r['exhaustive_s']} | {r['speedup']}× |"
+            f" {r['blocks_pruned_path']}/{r['blocks_exhaustive']} |"
+            f" {r['blocks_skipped_pct']}% |"
+        )
+    lines += ["", MARK_END]
+    section = "\n".join(lines)
+    path = os.path.join(REPO, "BENCH.md")
+    text = open(path).read() if os.path.exists(path) else "# BENCH\n"
+    if MARK_BEGIN in text:
+        pre = text.split(MARK_BEGIN)[0]
+        post = text.split(MARK_END)[-1]
+        text = pre + section + post
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -329,13 +329,20 @@ def _mk_skewed_corpus(spark, n=3000, seed=7):
 MULTI_QUERIES = [
     "alpha OR beta",
     "alpha OR beta OR gamma",
+    "alpha OR alpha",                  # duplicate member: summed twice
     "alpha beta",
     "alpha beta gamma",
     "alpha -beta",
     "alpha beta -gamma",
     "alpha OR w1 OR w2 OR w3",
     "w0 w1",
+    "(alpha OR beta) -gamma",          # OR-group AND child with NOT
+    "(alpha OR beta) gamma",           # mixed term + OR-group
+    "(alpha OR beta) (gamma OR w1)",   # two OR groups
+    "(alpha OR beta) w0 -w1",
 ]
+
+PHRASE_NEAR_QUERIES = ['"alpha beta"', '*N3"alpha beta"', '*N6"alpha gamma"']
 
 
 def test_multiterm_blockmax_rank_identity(spark, tmp_path):
@@ -349,7 +356,7 @@ def test_multiterm_blockmax_rank_identity(spark, tmp_path):
     build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
                 shard_size=64)
     idx = FulltextIndex(spark, path)
-    for q in MULTI_QUERIES:
+    for q in MULTI_QUERIES + PHRASE_NEAR_QUERIES:
         ast = idx._expand_ast(parse_query(q))
         plan = idx._plan(ast)
         pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
