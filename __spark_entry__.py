@@ -579,13 +579,27 @@ def q_curation(spark, sf):
     return curated.select("doc_id")
 
 
+def _minhash_mins_sql() -> str:
+    """min-signature SQL — the arithmetic hash family shared bit-for-bit
+    with dedup.minhash_signatures (one md5 per shingle)."""
+    from groonga_spark.dedup import minhash_family_consts
+
+    parts = []
+    for i in range(16):
+        a, b, c = minhash_family_consts(i)
+        parts.append(
+            f"min(({a} * ('0x'||substr(md5(shingle),1,7))::BIGINT"
+            f" + {b} * ('0x'||substr(md5(shingle),8,7))::BIGINT"
+            f" + {c}) % 2147483647) AS h{i}"
+        )
+    return ", ".join(parts)
+
+
 def _curation_sql() -> str:
     """Oracle for q_curation: survivor-by-fingerprint ∧ quality ≥ 0.2,
     minus the higher id of every LSH-candidate pair whose exact shingle
     Jaccard ≥ 0.8 (computed over the filtered corpus, like the op)."""
-    mins = ", ".join(
-        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(16)
-    )
+    mins = _minhash_mins_sql()
     bands = "\n UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws('|', h{4*b}, h{4*b+1},"
         f" h{4*b+2}, h{4*b+3})) AS bucket FROM sig"
@@ -976,9 +990,7 @@ SELECT doc_id, concat({bits}) AS simhash FROM v
 
 
 def _minhash_sql() -> str:
-    mins = ", ".join(
-        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(16)
-    )
+    mins = _minhash_mins_sql()
     bands = "\n UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws('|', h{4*b}, h{4*b+1},"
         f" h{4*b+2}, h{4*b+3})) AS bucket FROM sig"

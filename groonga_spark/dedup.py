@@ -141,13 +141,16 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, h0..h{H-1}) — MinHash signature over the shingle set.
 
-    Hash family i = md5("i|" + shingle); the signature component is the
-    lexicographic min — string order on hex == numeric order on the hash,
-    so this is standard MinHash with a portable, engine-independent hash.
-    Computed entirely with array higher-order functions
-    (array_min ∘ transform over the per-doc shingle set): a NARROW map —
-    zero shuffles until the LSH band self-join. Docs with no shingles
-    (fewer than n tokens) carry no signature, like an empty set.
+    ONE md5 per shingle (was one per shingle PER FAMILY — the dominant
+    bench cost): the 128-bit digest's two 28-bit halves g1, g2 feed a
+    classic universal family ``v_i = (A_i·g1 + B_i·g2 + C_i) mod
+    2^31−1`` (16-bit odd A/B → every product < 2^45, exact in int64 on
+    any engine); the signature component is the numeric min. Portable:
+    the DuckDB oracle computes the identical arithmetic. Computed
+    entirely with array higher-order functions (array_min ∘ transform
+    over the per-doc shingle set): a NARROW map — zero shuffles until
+    the LSH band self-join. Docs with no shingles (fewer than n tokens)
+    carry no signature, like an empty set.
     """
     w = F.split(F.col(text_col), " ")
     grams = F.when(
@@ -157,20 +160,39 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
             lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "),
         )),
     ).otherwise(F.array().cast("array<string>"))
-    def _hasher(i):
-        # single-arg lambda on purpose (2-arg = (element, index) to Spark)
-        return lambda g: F.md5(F.concat(F.lit(f"{i}|"), g))
+    # pack (g1, g2) = (first, next) 7 hex chars of md5 into one int64
+    packed = F.transform(
+        F.transform(F.col("_grams"), F.md5),
+        lambda m: F.conv(F.substring(m, 1, 7), 16, 10).cast("long")
+        * F.lit(1 << 28)
+        + F.conv(F.substring(m, 8, 7), 16, 10).cast("long"),
+    )
+
+    def _family(i):
+        a, b, c = minhash_family_consts(i)
+        return lambda v: (
+            F.lit(a) * F.shiftright(v, 28)
+            + F.lit(b) * (v % F.lit(1 << 28))
+            + F.lit(c)
+        ) % F.lit(2147483647)
 
     cols = [F.col(id_col).alias("doc_id")]
     for i in range(num_hashes):
         cols.append(
-            F.array_min(F.transform(F.col("_grams"), _hasher(i))).alias(f"h{i}")
+            F.array_min(F.transform(F.col("_packed"), _family(i))).alias(f"h{i}")
         )
     return (
         docs.withColumn("_grams", grams)
         .filter(F.size("_grams") > 0)
+        .withColumn("_packed", packed)
         .select(*cols)
     )
+
+
+def minhash_family_consts(i: int) -> tuple[int, int, int]:
+    """(A_i, B_i, C_i) of hash family i — shared with the DuckDB oracle
+    so signatures are bit-identical across engines."""
+    return 2 * i + 3, 2 * i + 101, i * 7919 + 1
 
 
 def lsh_band_buckets(sig: DataFrame, bands: int = 4,

@@ -223,8 +223,18 @@ def write_bench_md(r: dict) -> None:
             f"- **N→4N gate ({g['pair']}): {g['efficiency']} — "
             f"{'PASS' if g['pass'] else 'FAIL'} (target ≥ 0.8)**"
         )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(REPO, "BENCH.md")
+    # preserve bench_wand's marked section across rewrites
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if "<!-- bench_wand:begin -->" in old:
+            extra = ("\n" + "<!-- bench_wand:begin -->"
+                     + old.split("<!-- bench_wand:begin -->")[1]
+                     .split("<!-- bench_wand:end -->")[0]
+                     + "<!-- bench_wand:end -->" + "\n")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + extra)
 
 
 if __name__ == "__main__":
