@@ -83,7 +83,34 @@ def main() -> None:
     # "* " prefix / codegen id = operator inside a WholeStageCodegen span
     audit("textstats_codegen", ts, ["* ColumnarToRow", "Scan parquet"])
 
-    out = ["# PLANS — physical-plan audit (round 1)", "",
+    # 7. LSH-bucketed embedding near-dup pairs: the graded path must have
+    # NO cartesian product — candidates come from a bucket equi-join
+    from groonga_spark.cacheutil import release
+    from groonga_spark.similarity import embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    dups = embedding_dup_pairs_lsh(emb)
+    p_dups = plan_of(dups)
+    if "CartesianProduct" in p_dups or "BroadcastNestedLoopJoin" in p_dups:
+        checks_failed.append("embedding_dups_lsh: cartesian/nested-loop "
+                             "join present in the graded near-dup path")
+    sections.append(("embedding_dups_lsh_no_cartesian", p_dups,
+                     ["(MUST NOT contain CartesianProduct / "
+                      "BroadcastNestedLoopJoin)"]))
+    release(dups)
+
+    # 8. multifield leaf combine: doc_id equi-joins (SortMerge or
+    # broadcast), never nested-loop
+    mf = E._mf_index(spark, SF)
+    mdf = mf.match_docs("spark merge", "title*3||body")
+    p_mf = plan_of(mdf)
+    if "BroadcastNestedLoopJoin" in p_mf or "CartesianProduct" in p_mf:
+        checks_failed.append("multifield_match: nested-loop join present")
+    sections.append(("multifield_match_equijoins", p_mf,
+                     ["(MUST NOT contain CartesianProduct / "
+                      "BroadcastNestedLoopJoin)"]))
+
+    out = ["# PLANS — physical-plan audit (round 2)", "",
            f"Input: {SF}. Each section lists the REQUIRED plan properties",
            "and the full `.explain('formatted')` output. Regenerate with",
            "`python scripts/explain_audit.py`.", ""]
