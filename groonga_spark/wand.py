@@ -90,6 +90,32 @@ class TermPostings:
                 doc, tf, dl = doc[keep], tf[keep], dl[keep]
         return doc, tf, dl
 
+    def decode_idx_split(self, idx: np.ndarray) -> list[tuple]:
+        """Decode the given block rows → list of per-block (doc, tf, dl)
+        arrays, in ``idx`` order. ONE vb_decode per stream over the
+        concatenated buffers (the batch fast path), split by the
+        pre-tombstone doc counts, then masked per block — so callers can
+        memoize per block without paying per-block decode overhead."""
+        if len(idx) == 0:
+            return []
+        sub = self.blocks.iloc[idx]
+        nd = sub["n_docs"].to_numpy(np.int64)
+        deltas = vb_decode(b"".join(sub["doc_deltas"])).astype(np.int64)
+        doc = _segmented_cumsum(deltas, nd)
+        tf = vb_decode(b"".join(sub["tfs"])).astype(np.int64)
+        dl = vb_decode(b"".join(sub["dls"])).astype(np.int64)
+        ends = np.cumsum(nd)
+        starts = ends - nd
+        out = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            d, t, l = doc[s:e], tf[s:e], dl[s:e]
+            if self.tomb is not None:
+                keep = ~np.isin(d, self.tomb, assume_unique=True)
+                if not keep.all():
+                    d, t, l = d[keep], t[keep], l[keep]
+            out.append((d, t, l))
+        return out
+
     def block_bounds(self, stats: dict) -> np.ndarray:
         """Block-max WAND upper bounds from stored (max_tf, min_dl) + df —
         computed at query time so they survive incremental stat drift;
@@ -548,17 +574,20 @@ class SegmentQueryKernel:
 
         decoded: dict[tuple[int, int], tuple] = {}
 
-        def _block(t: int, b: int):
-            """Decoded (doc, score, interval_id) of one block, memoized."""
-            got = decoded.get((t, b))
-            if got is None:
-                d, tf, dl = tps[t].decode_idx(np.asarray([b], np.int64))
+        def _ensure_blocks(t: int, need: np.ndarray) -> None:
+            """Batch-decode every not-yet-decoded block of term t in one
+            vb_decode pass (per-block decode calls were the dominant cost
+            of this path at small scale)."""
+            new = [b for b in need.tolist() if (t, b) not in decoded]
+            if not new:
+                return
+            splits = tps[t].decode_idx_split(np.asarray(new, np.int64))
+            for b, (d, tf, dl) in zip(new, splits):
                 s = bm25(tf, dl, tps[t].df, self.stats["n_docs"],
                          self.stats["avgdl"], self.stats["k1"],
                          self.stats["b"])
                 iid = np.searchsorted(bounds, d, side="right") - 1
-                got = decoded[(t, b)] = (d, s, iid)
-            return got
+                decoded[(t, b)] = (d, s, iid)
 
         def _group_docs_scores(g, chunk, in_chunk):
             """(sorted docs, aggregated scores) of one group within the
@@ -568,7 +597,7 @@ class SegmentQueryKernel:
             for t, w in g:
                 need = np.unique(blk_of_int[t][chunk])
                 for b in need[need >= 0].tolist():
-                    d, s, iid = _block(t, b)
+                    d, s, iid = decoded[(t, b)]
                     m = in_chunk[iid]
                     if m.any():
                         d_parts.append(d[m])
@@ -605,14 +634,14 @@ class SegmentQueryKernel:
                 hit = (left < len(cand)) & (
                     cand[np.minimum(left, len(cand) - 1)] <= nhi
                 )
-                parts = []
-                for b in np.flatnonzero(hit).tolist():
-                    d = memo.get(b)
-                    if d is None:
-                        d = memo[b] = tp.decode_idx(
-                            np.asarray([b], np.int64)
-                        )[0]
-                    parts.append(d)
+                hit_b = np.flatnonzero(hit)
+                new = [b for b in hit_b.tolist() if b not in memo]
+                if new:
+                    for b, (d, _, _) in zip(
+                        new, tp.decode_idx_split(np.asarray(new, np.int64))
+                    ):
+                        memo[b] = d
+                parts = [memo[b] for b in hit_b.tolist()]
                 if parts:
                     nd = np.concatenate(parts)  # blocks disjoint+sorted
                     keep &= ~np.isin(cand, nd, assume_unique=True)
@@ -631,6 +660,9 @@ class SegmentQueryKernel:
             i += CHUNK
             in_chunk[:] = False
             in_chunk[chunk] = True
+            for t in uniq_tids:
+                need = np.unique(blk_of_int[t][chunk])
+                _ensure_blocks(t, need[need >= 0])
             per_group = []
             ok = True
             for g in groups:
@@ -690,11 +722,19 @@ class SegmentQueryKernel:
                 toks.append(tids[0])
         return toks
 
+    #: below this many total blocks the exhaustive path's single batched
+    #: decode beats the interval machinery (measured crossover; the
+    #: distributed per-shard kernels almost always land here)
+    PRUNE_MIN_BLOCKS = 512
+
     def _pruned_multi(self, ast):
         """Route AND/OR roots over single-token leaves (AND children may
         themselves be ORs of single-token leaves — the `(a OR b) -c`
         shape) to the interval pruner; None → exhaustive fallback."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if (sum(len(tp.blocks) for tp in self.by_tid.values())
+                < self.PRUNE_MIN_BLOCKS):
+            return None  # tiny posting set: decode-all is cheaper
         if isinstance(ast, (Phrase, Term, Near)):
             # multi-token phrase (or near) root: interval-pruned AND over
             # the member tokens with a positional post-filter; the AND

@@ -91,16 +91,23 @@ def main() -> None:
         def spy_decodes(fn):
             counts = {"blocks": 0}
             orig = TermPostings.decode_idx
+            orig_split = TermPostings.decode_idx_split
 
             def spy(self, idx_arr, _c=counts, _o=orig):
                 _c["blocks"] += len(idx_arr)
                 return _o(self, idx_arr)
 
+            def spy_split(self, idx_arr, _c=counts, _o=orig_split):
+                _c["blocks"] += len(idx_arr)
+                return _o(self, idx_arr)
+
             TermPostings.decode_idx = spy
+            TermPostings.decode_idx_split = spy_split
             try:
                 out = fn()
             finally:
                 TermPostings.decode_idx = orig
+                TermPostings.decode_idx_split = orig_split
             return out, counts["blocks"]
 
         # warm + rank-identity safety check

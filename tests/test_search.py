@@ -362,6 +362,8 @@ def test_multiterm_blockmax_rank_identity(spark, tmp_path):
         pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
         for k in (1, 3, 10, 100):
             kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+            kern.PRUNE_MIN_BLOCKS = 0  # force the pruned path (test corpus
+            # is below the small-index crossover threshold)
             pr = kern._pruned_multi(ast)
             assert pr is not None, q  # these shapes must take the pruned path
             kern2 = SegmentQueryKernel(pdf, plan, idx._stats(), k)
@@ -410,11 +412,21 @@ def test_multiterm_blockmax_actually_prunes(spark, tmp_path):
             return _o(self, idx_arr)
 
         TermPostings.decode_idx = spy
+        TermPostings.decode_idx_split_orig = TermPostings.decode_idx_split
+        orig_split = TermPostings.decode_idx_split
+
+        def spy_split(self, idx_arr, _c=counts, _o=orig_split):
+            _c["n"] += len(idx_arr)
+            return _o(self, idx_arr)
+
+        TermPostings.decode_idx_split = spy_split
         try:
             kern = SegmentQueryKernel(pdf, plan, idx._stats(), 3)
+            kern.PRUNE_MIN_BLOCKS = 0
             kern._pruned_multi(ast)
         finally:
             TermPostings.decode_idx = orig
+            TermPostings.decode_idx_split = orig_split
         total_blocks = sum(
             len(tp.blocks) for tp in kern.by_tid.values()
         )
