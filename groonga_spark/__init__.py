@@ -44,4 +44,16 @@ def __getattr__(name):  # PEP 562 lazy exports
         from groonga_spark.pipeline import curate_corpus
 
         return curate_corpus
+    if name in ("MultiFieldIndex", "build_multifield_index"):
+        from groonga_spark import multifield
+
+        return getattr(multifield, name)
+    if name in ("CommandContext", "execute"):
+        from groonga_spark import commands
+
+        return getattr(commands, name)
+    if name == "release":
+        from groonga_spark.cacheutil import release
+
+        return release
     raise AttributeError(name)

@@ -1,0 +1,277 @@
+"""Groonga command façade — the reference's primary USER surface.
+
+A reference user interacts through named commands with string parameters
+(`select table Docs --query ... --drilldown lang`, `load`, `status`,
+`tokenize`, …) [G: lib/proc/*.c command handlers; command syntax in the
+reference docs]. This module maps those commands — with the REFERENCE
+parameter names and comma-separated string conventions — onto the engine
+APIs, so switching workloads is a rename, not a rewrite.
+
+Output follows the reference's body shape for `select`:
+``[[[n_hits], [[col, type], ...], row, row, ...], drilldown_bodies...]``
+and plain dict/list bodies for the rest. Spark-first: every command
+delegates to lazy DataFrame pipelines; only the output step collects.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+TOKENIZER_NAMES = {
+    "TokenBigram": "bigram",
+    "TokenTrigram": "trigram",
+    "TokenDelimit": "delimit",
+}
+
+
+def _mode_of(tokenizer: str) -> str:
+    """Reference tokenizer name (+ ``TokenNgram("n", N)``) → mode string."""
+    t = tokenizer.strip()
+    if t in TOKENIZER_NAMES:
+        return TOKENIZER_NAMES[t]
+    if t.startswith("TokenNgram"):
+        import re
+
+        m = re.search(r'"n"\s*,\s*(\d+)', t)
+        return f"ngram:{m.group(1)}" if m else "bigram"
+    if t in ("bigram", "trigram", "delimit") or t.startswith("ngram:"):
+        return t  # already a mode string
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+@dataclass
+class CommandContext:
+    """Holds the named tables and fulltext indexes commands operate on —
+    the grn database handle equivalent."""
+
+    spark: SparkSession
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    indexes: dict[str, Any] = field(default_factory=dict)  # Fulltext/MultiField
+    id_cols: dict[str, str] = field(default_factory=dict)
+
+    def register(self, name: str, df: DataFrame, index=None,
+                 id_col: str = "doc_id") -> None:
+        self.tables[name] = df
+        if index is not None:
+            self.indexes[name] = index
+        self.id_cols[name] = id_col
+
+
+def execute(ctx: CommandContext, command: str, **params):
+    """Run one reference-named command; returns the command's body."""
+    fn = _COMMANDS.get(command)
+    if fn is None:
+        raise ValueError(f"unknown command {command!r}; "
+                         f"supported: {sorted(_COMMANDS)}")
+    return fn(ctx, **params)
+
+
+# --------------------------------------------------------------------------
+# commands
+# --------------------------------------------------------------------------
+
+def _cmd_status(ctx: CommandContext):
+    import pyspark
+
+    return {
+        "version": "groonga-spark/0.2",
+        "spark_version": pyspark.__version__,
+        "n_tables": len(ctx.tables),
+        "n_indexes": len(ctx.indexes),
+        "default_command_version": 1,
+    }
+
+
+def _cmd_table_list(ctx: CommandContext):
+    out = []
+    for name, df in sorted(ctx.tables.items()):
+        out.append({
+            "name": name,
+            "n_columns": len(df.columns),
+            "has_index": name in ctx.indexes,
+            "key": ctx.id_cols.get(name, "doc_id"),
+        })
+    return out
+
+
+def _cmd_column_list(ctx: CommandContext, table: str):
+    df = ctx.tables[table]
+    return [{"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields]
+
+
+def _cmd_schema(ctx: CommandContext):
+    return {
+        "tables": {
+            name: {
+                "columns": _cmd_column_list(ctx, name),
+                "has_index": name in ctx.indexes,
+            }
+            for name in sorted(ctx.tables)
+        }
+    }
+
+
+def _cmd_tokenize(ctx: CommandContext, tokenizer: str, string: str,
+                  token_filters: str | None = None, **_):
+    from groonga_spark.normalize import normalize_str
+    from groonga_spark.tokenize import tokenize_str
+
+    mode = _mode_of(tokenizer)
+    if token_filters:
+        for tf in token_filters.split(","):
+            tf = tf.strip()
+            if tf == "TokenFilterStem":
+                mode += "|stem"
+            elif tf.startswith("TokenFilterStopWord"):
+                # reference configures the stop list on the column; the
+                # façade takes it inline: TokenFilterStopWord(a;b;c)
+                inner = tf[tf.find("(") + 1 : tf.rfind(")")]
+                mode += "|stop:" + ",".join(inner.split(";"))
+            else:
+                raise ValueError(f"unknown token filter {tf!r}")
+    return [{"value": t, "position": p}
+            for t, p in tokenize_str(normalize_str(string), mode)]
+
+
+def _cmd_normalize(ctx: CommandContext, normalizer: str, string: str, **_):
+    from groonga_spark.normalize import normalize_str
+
+    return {"normalized": normalize_str(string), "types": [], "checks": []}
+
+
+def _cmd_load(ctx: CommandContext, table: str, values, key: str | None = None):
+    from groonga_spark.load import load_json, upsert
+
+    incoming = load_json(ctx.spark, values)
+    key = key or ctx.id_cols.get(table, "doc_id")
+    if table in ctx.tables:
+        ctx.tables[table] = upsert(ctx.tables[table], incoming, key)
+    else:
+        ctx.tables[table] = incoming
+        ctx.id_cols.setdefault(table, key)
+    return {"n_loaded": incoming.count()}
+
+
+def _cmd_delete(ctx: CommandContext, table: str, key: str | None = None,
+                id=None, filter: str | None = None):  # noqa: A002
+    from pyspark.sql import functions as F
+
+    from groonga_spark.select import script_to_sql
+
+    df = ctx.tables[table]
+    id_col = ctx.id_cols.get(table, "doc_id")
+    if filter is not None:
+        doomed = df.filter(F.expr(script_to_sql(filter)))
+    elif id is not None:
+        doomed = df.filter(F.col(id_col) == id)
+    elif key is not None:
+        doomed = df.filter(F.col(id_col) == key)
+    else:
+        raise ValueError("delete needs key=, id= or filter=")
+    ids = [r[id_col] for r in doomed.select(id_col).collect()]
+    ctx.tables[table] = df.join(
+        doomed.select(id_col), id_col, "left_anti"
+    )
+    idx = ctx.indexes.get(table)
+    if idx is not None and hasattr(idx, "delete_docs") and ids:
+        idx.delete_docs(ids)
+    return {"n_deleted": len(ids)}
+
+
+def _select_body(res, hits_df: DataFrame) -> list:
+    rows = hits_df.collect()
+    cols = [[f.name, f.dataType.simpleString()] for f in hits_df.schema.fields]
+    return [[res.n_hits], cols, *[list(r) for r in rows]]
+
+
+def _cmd_select(
+    ctx: CommandContext,
+    table: str,
+    query: str | None = None,
+    match_columns: str | None = None,
+    filter: str | None = None,  # noqa: A002
+    post_filter: str | None = None,
+    sort_keys: str | None = None,
+    output_columns: str | None = None,
+    offset: int = 0,
+    limit: int = 10,
+    drilldown: str | None = None,
+    drilldowns: dict | None = None,
+    slices: dict | None = None,
+    columns: dict | None = None,
+    match_escalation_threshold: int | None = None,
+    adjuster: list | None = None,
+    output_type: str = "python",
+):
+    """The reference's `select` with its parameter names/conventions:
+    comma-separated sort_keys/output_columns/drilldown strings, body
+    shaped ``[[[n_hits], [[col, type]...], rows...], drilldowns...]``."""
+    from groonga_spark.select import select as _select
+
+    sel_kwargs = dict(
+        query=query,
+        filter=filter,
+        post_filter=post_filter,
+        sort_keys=sort_keys,
+        offset=int(offset),
+        limit=int(limit),
+        output_columns=output_columns,
+        slices=slices,
+        columns=columns,
+        adjuster=adjuster,
+        match_escalation_threshold=match_escalation_threshold,
+        match_columns=match_columns,
+        id_col=ctx.id_cols.get(table, "doc_id"),
+    )
+    if drilldown is not None:
+        sel_kwargs["drilldowns"] = [k.strip() for k in drilldown.split(",")]
+    elif drilldowns is not None:
+        sel_kwargs["drilldowns"] = drilldowns
+    with _select(ctx.tables[table],
+                 index=ctx.indexes.get(table), **sel_kwargs) as res:
+        body = [_select_body(res, res.hits)]
+        for label in (res.drilldowns or {}):
+            dd = res.drilldowns[label]
+            rows = dd.collect()
+            cols = [[f.name, f.dataType.simpleString()]
+                    for f in dd.schema.fields]
+            body.append([[len(rows)], cols, *[list(r) for r in rows]])
+    if output_type == "json":
+        return json.dumps(body, default=str)
+    return body
+
+
+def _cmd_dump(ctx: CommandContext, table: str, path: str):
+    from groonga_spark.output import write_parquet
+
+    write_parquet(ctx.tables[table], path)
+    return {"dumped": table, "path": path}
+
+
+def _cmd_cache_limit(ctx: CommandContext, max: int | None = None):  # noqa: A002
+    from groonga_spark.search import FulltextIndex
+
+    prev = FulltextIndex.RESULT_CACHE_MAX
+    if max is not None:
+        FulltextIndex.RESULT_CACHE_MAX = int(max)
+    return {"previous": prev, "current": FulltextIndex.RESULT_CACHE_MAX}
+
+
+_COMMANDS = {
+    "status": _cmd_status,
+    "table_list": _cmd_table_list,
+    "column_list": _cmd_column_list,
+    "schema": _cmd_schema,
+    "tokenize": _cmd_tokenize,
+    "normalize": _cmd_normalize,
+    "load": _cmd_load,
+    "delete": _cmd_delete,
+    "select": _cmd_select,
+    "dump": _cmd_dump,
+    "cache_limit": _cmd_cache_limit,
+}

@@ -1,0 +1,103 @@
+"""Groonga command façade: reference parameter names/conventions mapped
+onto the engine (the user surface a reference workload would call)."""
+
+from __future__ import annotations
+
+import pytest
+
+from groonga_spark.commands import CommandContext, execute
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, tmp_path_factory):
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path_factory.mktemp("cmd") / "idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    c = CommandContext(spark)
+    c.register("Docs", docs, index=FulltextIndex(spark, path))
+    return c
+
+
+def test_status_and_introspection(ctx):
+    st = execute(ctx, "status")
+    assert st["n_tables"] == 1 and st["n_indexes"] == 1
+    tl = execute(ctx, "table_list")
+    assert tl[0]["name"] == "Docs" and tl[0]["has_index"]
+    cl = execute(ctx, "column_list", table="Docs")
+    assert {"name": "doc_id", "type": "bigint"} in cl
+    sc = execute(ctx, "schema")
+    assert "Docs" in sc["tables"]
+
+
+def test_tokenize_and_normalize(ctx):
+    toks = execute(ctx, "tokenize", tokenizer="TokenBigram",
+                   string="日本語 abc")
+    assert [t["value"] for t in toks] == ["日本", "本語", "語", "abc"]
+    toks2 = execute(ctx, "tokenize", tokenizer="TokenDelimit",
+                    string="The Big apple",
+                    token_filters="TokenFilterStopWord(the;a),TokenFilterStem")
+    assert [t["value"] for t in toks2] == ["big", "apple"]
+    assert [t["position"] for t in toks2] == [1, 2]
+    n = execute(ctx, "normalize", normalizer="NormalizerAuto", string="ＡＢＣ")
+    assert n["normalized"] == "abc"
+
+
+def test_select_command_body_shape(ctx):
+    body = execute(ctx, "select", table="Docs", query="spark merge",
+                   sort_keys="-_score,doc_id",
+                   output_columns="doc_id,_score", limit=5,
+                   drilldown="lang")
+    hits = body[0]
+    assert isinstance(hits[0][0], int) and hits[0][0] > 0   # n_hits
+    assert hits[1] == [["doc_id", "bigint"], ["_score", "double"]]
+    rows = hits[2:]
+    assert len(rows) == 5
+    scores = [r[1] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    dd = body[1]                                            # drilldown body
+    assert dd[0][0] >= 1 and ["_key", "string"] in dd[1]
+
+
+def test_select_command_matches_api(ctx, spark):
+    from groonga_spark.select import select
+
+    body = execute(ctx, "select", table="Docs",
+                   filter='lang == "en" && n_chars > 300',
+                   sort_keys="doc_id", output_columns="doc_id", limit=-1)
+    got = [r[0] for r in body[0][2:]]
+    with select(ctx.tables["Docs"], filter='lang == "en" && n_chars > 300',
+                sort_keys="doc_id", limit=-1,
+                output_columns=["doc_id"]) as res:
+        want = [r["doc_id"] for r in res.hits.collect()]
+    assert got == want
+
+
+def test_load_delete_roundtrip(spark):
+    ctx = CommandContext(spark)
+    r = execute(ctx, "load", table="T",
+                values='[{"doc_id": 1, "text": "hello world"},'
+                       ' {"doc_id": 2, "text": "bye"}]', key="doc_id")
+    assert r["n_loaded"] == 2
+    r2 = execute(ctx, "load", table="T",
+                 values='[{"doc_id": 2, "text": "bye UPDATED"}]')
+    assert r2["n_loaded"] == 1
+    rows = {r["doc_id"]: r["text"] for r in ctx.tables["T"].collect()}
+    assert rows == {1: "hello world", 2: "bye UPDATED"}
+    d = execute(ctx, "delete", table="T", id=1)
+    assert d["n_deleted"] == 1
+    assert ctx.tables["T"].count() == 1
+
+
+def test_cache_limit(ctx):
+    prev = execute(ctx, "cache_limit")["current"]
+    r = execute(ctx, "cache_limit", max=7)
+    assert r["previous"] == prev and r["current"] == 7
+    execute(ctx, "cache_limit", max=prev)
+
+
+def test_unknown_command(ctx):
+    with pytest.raises(ValueError):
+        execute(ctx, "no_such_command")
