@@ -503,24 +503,25 @@ class SegmentQueryKernel:
 
     def _topk_interval_pruned(
         self,
-        groups: list[list[tuple[int, float]]],
+        groups: list[dict],
         mode: str,
         neg_docs: np.ndarray | None = None,
         neg_tids: list[int] | None = None,
-        post_filter=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Interval-pruned top-k over ``groups`` of weighted tokens.
+        """Interval-pruned top-k over ``groups``.
 
-        ``mode`` 'or': one group; per-doc score = Σ member contributions
-        in member order (the exhaustive _eval_or incremental-union
-        summation order). ``mode`` 'and': a doc must match EVERY group
-        (within a group, any member — the OR-of-terms AND-child shape);
-        per-group scores aggregate in member order, then add across
-        groups in group order — exactly the exhaustive _eval_and
-        sequence (fused callers pass sorted-unique single-member groups
-        with dup-count weights to match _intersect_scored)."""
+        A group is ``{"kind": "or"|"and", "members": [(tid, w), ...],
+        "post": checker|None}`` — one query-AST child. kind 'or' = any
+        member matches (plain term / OR-of-terms); kind 'and' = every
+        member + an optional positional post check (phrase / near).
+        ``mode`` 'or' unions groups (scores add in group order — the
+        exhaustive _eval_or merge sequence); ``mode`` 'and' intersects
+        groups (scores add in group order — the exhaustive non-fused
+        _eval_and sequence; fused callers pass sorted-unique
+        single-member groups with dup-count weights to match
+        _intersect_scored)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        uniq_tids = sorted({t for g in groups for t, _ in g})
+        uniq_tids = sorted({t for g in groups for t, _ in g["members"]})
         tps = {t: self.by_tid[t] for t in uniq_tids}
         lo_d = {t: tps[t].blocks["min_doc_id"].to_numpy(np.int64)
                 for t in uniq_tids}
@@ -560,8 +561,15 @@ class SegmentQueryKernel:
         covered_all = np.ones(n_int, bool)
         for g in groups:
             g_ub = np.zeros(n_int, np.float64)
-            for t, w in g:
+            g_cov = np.ones(n_int, bool)
+            for t, w in g["members"]:
                 g_ub += w * iub_d[t]
+                if g["kind"] == "and":
+                    g_cov &= iub_d[t] > 0
+            if g["kind"] == "and":
+                # phrase/near group: a doc needs EVERY member token, so
+                # intervals missing any member can't contain group docs
+                g_ub[~g_cov] = 0.0
             total_ub += g_ub
             if mode == "and":
                 covered_all &= g_ub > 0
@@ -589,26 +597,63 @@ class SegmentQueryKernel:
                 iid = np.searchsorted(bounds, d, side="right") - 1
                 decoded[(t, b)] = (d, s, iid)
 
-        def _group_docs_scores(g, chunk, in_chunk):
-            """(sorted docs, aggregated scores) of one group within the
-            chunk's intervals — member contributions added in member
-            order per doc (np.add.at operand order)."""
+        def _member_chunk(t, w, chunk, in_chunk):
+            """One member's (sorted docs, weighted scores) within the
+            chunk's intervals."""
             d_parts, s_parts = [], []
-            for t, w in g:
-                need = np.unique(blk_of_int[t][chunk])
-                for b in need[need >= 0].tolist():
-                    d, s, iid = decoded[(t, b)]
-                    m = in_chunk[iid]
-                    if m.any():
-                        d_parts.append(d[m])
-                        s_parts.append(w * s[m] if w != 1.0 else s[m])
+            need = np.unique(blk_of_int[t][chunk])
+            for b in need[need >= 0].tolist():
+                d, s, iid = decoded[(t, b)]
+                m = in_chunk[iid]
+                if m.any():
+                    d_parts.append(d[m])
+                    s_parts.append(w * s[m] if w != 1.0 else s[m])
             if not d_parts:
                 return None
-            docs_all = np.concatenate(d_parts)
-            uniq_docs, inv = np.unique(docs_all, return_inverse=True)
-            agg = np.zeros(len(uniq_docs), np.float64)
-            np.add.at(agg, inv, np.concatenate(s_parts))
-            return uniq_docs, agg
+            return np.concatenate(d_parts), np.concatenate(s_parts)
+
+        def _group_docs_scores(g, chunk, in_chunk):
+            """(sorted docs, aggregated scores) of one group within the
+            chunk's intervals.
+
+            kind 'or' (an OR-of-terms AND child / plain term): member
+            contributions added in member order per doc (np.add.at
+            operand order — the exhaustive _eval_or sequence).
+            kind 'and' (phrase / near): docs must hold EVERY member;
+            scores Σ w·bm25 in sorted-member order (the exhaustive
+            _intersect_scored sequence), then the positional post check
+            on the group's own docs."""
+            per = [
+                _member_chunk(t, w, chunk, in_chunk) for t, w in g["members"]
+            ]
+            if g["kind"] == "or":
+                per = [p for p in per if p is not None]
+                if not per:
+                    return None
+                docs_all = np.concatenate([d for d, _ in per])
+                uniq_docs, inv = np.unique(docs_all, return_inverse=True)
+                agg = np.zeros(len(uniq_docs), np.float64)
+                np.add.at(agg, inv, np.concatenate([s for _, s in per]))
+                return uniq_docs, agg
+            # kind "and"
+            if any(p is None for p in per):
+                return None
+            cand = per[0][0]
+            for d, _ in per[1:]:
+                if len(cand) == 0:
+                    return None
+                cand = cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return None
+            score = per[0][1][np.searchsorted(per[0][0], cand)].copy()
+            for d, s in per[1:]:
+                score += s[np.searchsorted(d, cand)]
+            if g["post"] is not None:
+                keep = g["post"](cand)
+                cand, score = cand[keep], score[keep]
+                if len(cand) == 0:
+                    return None
+            return cand, score
 
         # candidate-driven NOT: single-token negative terms decode only
         # blocks overlapping surviving candidates, chunk by chunk (a huge
@@ -663,39 +708,48 @@ class SegmentQueryKernel:
             for t in uniq_tids:
                 need = np.unique(blk_of_int[t][chunk])
                 _ensure_blocks(t, need[need >= 0])
-            per_group = []
-            ok = True
-            for g in groups:
-                got = _group_docs_scores(g, chunk, in_chunk)
-                if got is None:
-                    ok = False
-                    break
-                per_group.append(got)
-            if not ok:
-                if mode == "or":
+            if mode == "or":
+                # union-add across groups in child order (the exhaustive
+                # _eval_or merge sequence per doc)
+                per_group = []
+                for g in groups:
+                    got = _group_docs_scores(g, chunk, in_chunk)
+                    if got is not None:
+                        per_group.append(got)
+                if not per_group:
                     continue
-                continue  # and: a group matched nothing in these intervals
-            cand = per_group[0][0]
-            for gd, _ in per_group[1:]:
+                docs_all = np.concatenate([d for d, _ in per_group])
+                uniq_docs, inv = np.unique(docs_all, return_inverse=True)
+                agg = np.zeros(len(uniq_docs), np.float64)
+                np.add.at(agg, inv,
+                          np.concatenate([s for _, s in per_group]))
+                cand, cscore = uniq_docs, agg
+            else:
+                per_group = []
+                ok = True
+                for g in groups:
+                    got = _group_docs_scores(g, chunk, in_chunk)
+                    if got is None:
+                        ok = False
+                        break  # a group matched nothing in these intervals
+                    per_group.append(got)
+                if not ok:
+                    continue
+                cand = per_group[0][0]
+                for gd, _ in per_group[1:]:
+                    if len(cand) == 0:
+                        break
+                    cand = cand[np.isin(cand, gd, assume_unique=True)]
                 if len(cand) == 0:
-                    break
-                cand = cand[np.isin(cand, gd, assume_unique=True)]
-            if len(cand) == 0:
-                continue
-            # scores add across groups in group order (exhaustive order)
-            cscore = per_group[0][1][
-                np.searchsorted(per_group[0][0], cand)
-            ].copy()
-            for gd, gs in per_group[1:]:
-                cscore += gs[np.searchsorted(gd, cand)]
+                    continue
+                # scores add across groups in group order (exhaustive)
+                cscore = per_group[0][1][
+                    np.searchsorted(per_group[0][0], cand)
+                ].copy()
+                for gd, gs in per_group[1:]:
+                    cscore += gs[np.searchsorted(gd, cand)]
             if (neg_docs is not None or neg_state) and len(cand):
                 keep = _neg_mask(cand)
-                cand, cscore = cand[keep], cscore[keep]
-            if post_filter is not None and len(cand):
-                # positional verification (phrase adjacency / near
-                # window) on surviving candidates only — position blocks
-                # decode candidate-driven, never exhaustively
-                keep = post_filter(cand)
                 cand, cscore = cand[keep], cscore[keep]
             if len(cand) == 0:
                 continue
@@ -727,49 +781,63 @@ class SegmentQueryKernel:
     #: distributed per-shard kernels almost always land here)
     PRUNE_MIN_BLOCKS = 512
 
+    def _leaf_group(self, node):
+        """Term/Phrase/Near leaf → group dict; "empty" when the leaf
+        cannot match anything here; None → not pruneable."""
+        tids = self._leaf_tokens(node.text)
+        if not tids:
+            return "empty"
+        if isinstance(node, Near) and len(set(tids)) == 1:
+            tids = [tids[0]]  # exhaustive Near degenerates to one term
+        if len(tids) == 1:
+            if tids[0] not in self.by_tid:
+                return "empty"
+            return {"kind": "or", "members": [(tids[0], 1.0)], "post": None}
+        from collections import Counter
+
+        cnt = Counter(tids)
+        if any(t not in self.by_tid for t in cnt):
+            return "empty"
+        post = (self._near_checker(tids, node.max_interval)
+                if isinstance(node, Near) else self._phrase_checker(tids))
+        return {
+            "kind": "and",
+            "members": [(t, float(cnt[t])) for t in sorted(cnt)],
+            "post": post,
+        }
+
     def _pruned_multi(self, ast):
-        """Route AND/OR roots over single-token leaves (AND children may
-        themselves be ORs of single-token leaves — the `(a OR b) -c`
-        shape) to the interval pruner; None → exhaustive fallback."""
+        """Route prunable roots to the interval pruner: multi-token
+        Term/Phrase/Near leaves, ORs of leaves, and ANDs whose positive
+        children are leaves or ORs of single-token leaves (phrases and
+        nears ride along as "and"-kind groups with positional post
+        checks). None → exhaustive fallback."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if (sum(len(tp.blocks) for tp in self.by_tid.values())
                 < self.PRUNE_MIN_BLOCKS):
             return None  # tiny posting set: decode-all is cheaper
         if isinstance(ast, (Phrase, Term, Near)):
-            # multi-token phrase (or near) root: interval-pruned AND over
-            # the member tokens with a positional post-filter; the AND
-            # bound dominates the phrase/near score (same member sum)
-            tids = self._leaf_tokens(ast.text)
-            if not tids:
+            g = self._leaf_group(ast)
+            if g == "empty":
                 return empty
-            if isinstance(ast, Near) and len(set(tids)) == 1:
-                # exhaustive Near degenerates to a single-term eval
-                return self._topk_single_pruned(tids[0])
-            if len(tids) < 2:
-                return None  # single-token Term/Phrase handled by run()
-            from collections import Counter
-
-            cnt = Counter(tids)
-            if any(t not in self.by_tid for t in cnt):
-                return empty
-            groups = [[(t, float(cnt[t]))] for t in sorted(cnt)]
-            if isinstance(ast, Near):
-                pf = self._near_checker(tids, ast.max_interval)
-            else:
-                pf = self._phrase_checker(tids)
-            return self._topk_interval_pruned(groups, "and",
-                                              post_filter=pf)
+            if g["kind"] == "or":  # single token
+                return self._topk_single_pruned(g["members"][0][0])
+            return self._topk_interval_pruned([g], "and")
         if isinstance(ast, Or):
-            toks = self._or_members(ast.children)
-            if toks is None:
-                return None
-            if not toks:
+            groups = []
+            for c in ast.children:
+                if not isinstance(c, (Term, Phrase, Near)):
+                    return None
+                g = self._leaf_group(c)
+                if g == "empty":
+                    continue  # contributes nothing, like the exhaustive OR
+                groups.append(g)
+            if not groups:
                 return empty
-            if len(toks) == 1:
-                return self._topk_single_pruned(toks[0])
-            return self._topk_interval_pruned(
-                [[(t, 1.0) for t in toks]], "or"
-            )
+            if (len(groups) == 1 and groups[0]["kind"] == "or"
+                    and len(groups[0]["members"]) == 1):
+                return self._topk_single_pruned(groups[0]["members"][0][0])
+            return self._topk_interval_pruned(groups, "or")
         if isinstance(ast, And):
             pos = [c for c in ast.children if not isinstance(c, Not)]
             neg = [c.child for c in ast.children if isinstance(c, Not)]
@@ -795,29 +863,28 @@ class SegmentQueryKernel:
                 cnt = Counter(fused_tids)
                 if any(t not in self.by_tid for t in cnt):
                     return empty
-                groups = [[(t, float(cnt[t]))] for t in sorted(cnt)]
+                groups = [{"kind": "or", "members": [(t, float(cnt[t]))],
+                           "post": None} for t in sorted(cnt)]
             else:
-                # general shape: each positive child is a single-token
-                # leaf or an OR of single-token leaves; groups add in
-                # child order — the exhaustive non-fused _eval_and order
+                # general shape: positives are leaves (single-token,
+                # phrase, near) or ORs of single-token leaves; groups add
+                # in child order — the exhaustive non-fused order
                 groups = []
                 for c in pos:
-                    if isinstance(c, (Term, Phrase)):
-                        t = self._leaf_tokens(c.text)
-                        if not t:
-                            return empty
-                        if len(t) != 1:
-                            return None  # phrase child → exhaustive
-                        if t[0] not in self.by_tid:
-                            return empty
-                        groups.append([(t[0], 1.0)])
+                    if isinstance(c, (Term, Phrase, Near)):
+                        g = self._leaf_group(c)
+                        if g == "empty":
+                            return empty  # an AND child can't match
+                        groups.append(g)
                     elif isinstance(c, Or):
                         mem = self._or_members(c.children)
                         if mem is None:
                             return None
                         if not mem:
                             return empty  # OR child matches nothing
-                        groups.append([(t, 1.0) for t in mem])
+                        groups.append({"kind": "or",
+                                       "members": [(t, 1.0) for t in mem],
+                                       "post": None})
                     else:
                         return None
             neg_docs = None

@@ -342,7 +342,13 @@ MULTI_QUERIES = [
     "(alpha OR beta) w0 -w1",
 ]
 
-PHRASE_NEAR_QUERIES = ['"alpha beta"', '*N3"alpha beta"', '*N6"alpha gamma"']
+PHRASE_NEAR_QUERIES = [
+    '"alpha beta"', '*N3"alpha beta"', '*N6"alpha gamma"',
+    # phrase/near as AND children and OR members (grouped pruning)
+    '"alpha beta" gamma', '"alpha beta" -gamma', '*N4"alpha beta" w0',
+    '"alpha beta" OR gamma', '"alpha beta" OR "beta gamma"',
+    '(w0 OR w1) "alpha beta"',
+]
 
 
 def test_multiterm_blockmax_rank_identity(spark, tmp_path):
