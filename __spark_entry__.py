@@ -490,6 +490,41 @@ def q_time_interval(spark, sf):
 
 # -- training-data pipeline ops --------------------------------------------
 
+def q_fuzzy_search(spark, sf):
+    """fuzzy_search(text, 'sparc', 1): docs containing any lexicon term
+    within edit distance 1 (lexicon-expanded OR)."""
+    return (_index(spark, sf).fuzzy_match_docs("sparc", max_distance=1)
+            .select("doc_id"))
+
+
+def q_geo_funcs(spark, sf):
+    """geo_distance (rectangular + sphere), geo_in_circle,
+    geo_in_rectangle over deterministic millisecond GeoPoints derived
+    from doc ids (both engines rebuild the fixture from arithmetic)."""
+    from groonga_spark.functions import (
+        geo_distance,
+        geo_in_circle,
+        geo_in_rectangle,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lat = (F.col("doc_id") * 131071) % F.lit(324000000) - F.lit(162000000)
+    lon = (F.col("doc_id") * 524287) % F.lit(648000000) - F.lit(324000000)
+    pt = F.concat(lat.cast("string"), F.lit("x"), lon.cast("string"))
+    return docs.select(
+        "doc_id",
+        # 0.1 m rounding: cos/sin/asin differ in the last ulp between
+        # the JVM and libm, so 1e-4 m would flip boundary digits
+        F.round(geo_distance(pt, F.lit("0x0"), "rectangular"), 1)
+        .alias("d_rect"),
+        F.round(geo_distance(pt, F.lit("0x0"), "sphere"), 1)
+        .alias("d_sphere"),
+        geo_in_circle(pt, F.lit("0x0"), 5_000_000).alias("in_circle"),
+        geo_in_rectangle(pt, F.lit("108000000x-108000000"),
+                         F.lit("-108000000x108000000")).alias("in_rect"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     from groonga_spark.dedup import exact_dup_groups
 
@@ -841,6 +876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_vector": q_scalar_vector,
         "edit_distance": q_edit_distance,
         "time_interval": q_time_interval,
+        # geo + fuzzy functions (§2.8)
+        "geo_funcs": q_geo_funcs,
+        "fuzzy_search": q_fuzzy_search,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1151,6 +1189,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE len(list_filter(string_split(text, ' '),
                                   x -> x LIKE 'sp%')) > 0""",
+        "fuzzy_search": f"""
+            SELECT DISTINCT doc_id FROM ({_TOKS})
+            WHERE levenshtein(term, 'sparc') <= 1""",
+        # same formulas as functions.geo_*: R = 6371008.8, ms/3.6e6 deg
+        "geo_funcs": """
+            WITH g AS (
+              SELECT doc_id,
+                     radians(((doc_id * 131071) % 324000000 - 162000000)
+                             / 3600000.0) AS la,
+                     radians(((doc_id * 524287) % 648000000 - 324000000)
+                             / 3600000.0) AS lo
+              FROM documents),
+            d AS (SELECT doc_id, la, lo,
+                         sqrt(pow(lo * cos(la / 2), 2) + pow(la, 2))
+                           * 6371008.8 AS d_rect,
+                         2 * 6371008.8 * asin(sqrt(
+                             pow(sin(la / 2), 2)
+                             + cos(la) * cos(0) * pow(sin(lo / 2), 2)))
+                           AS d_sphere
+                  FROM g)
+            SELECT doc_id, round(d_rect, 1) AS d_rect,
+                   round(d_sphere, 1) AS d_sphere,
+                   d_rect <= 5000000 AS in_circle,
+                   (degrees(la) <= 30 AND degrees(la) >= -30
+                    AND degrees(lo) >= -30 AND degrees(lo) <= 30)
+                     AS in_rect
+            FROM d""",
         "select_query_filter": """
             SELECT doc_id, n_chars FROM documents
             WHERE list_contains(string_split(text, ' '), 'spark')

@@ -211,6 +211,79 @@ def all_records() -> Column:
     return F.lit(True)
 
 
+# --------------------------------------------------------------------------
+# geo functions  [G: lib/geo.c · grn_geo_distance{,_rectangle,_sphere},
+# geo_in_circle, geo_in_rectangle; GeoPoint "lat x lon" literals]
+#
+# Pure Column algebra — no UDF. Points are "latxlon" strings: values
+# with a '.' are degrees, bare integers are milliseconds of arc (the
+# reference's GeoPoint convention). Distances in meters on the IUGG
+# mean radius R = 6371008.8 m (our documented constant — the reference's
+# internal constants are not copied):
+#   rectangular: R · √(Δφ² + (Δλ·cos((φ1+φ2)/2))²)  (fast, small areas)
+#   sphere:      haversine great-circle
+# --------------------------------------------------------------------------
+
+GEO_RADIUS_M = 6371008.8
+
+
+def _geo_part(point, idx: int) -> Column:
+    p = F.split(point, "x")[idx]
+    # degrees if a decimal point is present, else milliseconds of arc
+    return F.when(p.contains("."), p.cast("double")).otherwise(
+        p.cast("double") / F.lit(3600000.0)
+    )
+
+
+def _geo_col(point) -> Column:
+    # strings are COLUMN NAMES (the convention across this module);
+    # pass literal points as F.lit("35.68x139.76")
+    return point if isinstance(point, Column) else F.col(point)
+
+
+def geo_lat(point) -> Column:
+    return _geo_part(_geo_col(point), 0)
+
+
+def geo_lon(point) -> Column:
+    return _geo_part(_geo_col(point), 1)
+
+
+def geo_distance(a, b, approx: str = "rectangular") -> Column:
+    """Distance in meters between two "latxlon" points."""
+    a, b = _geo_col(a), _geo_col(b)
+    la1, lo1 = F.radians(geo_lat(a)), F.radians(geo_lon(a))
+    la2, lo2 = F.radians(geo_lat(b)), F.radians(geo_lon(b))
+    if approx in ("rectangular", "rect"):
+        x = (lo2 - lo1) * F.cos((la1 + la2) / F.lit(2.0))
+        y = la2 - la1
+        return F.sqrt(x * x + y * y) * F.lit(GEO_RADIUS_M)
+    if approx in ("sphere", "sphr"):
+        h = (
+            F.pow(F.sin((la2 - la1) / 2), F.lit(2.0))
+            + F.cos(la1) * F.cos(la2)
+            * F.pow(F.sin((lo2 - lo1) / 2), F.lit(2.0))
+        )
+        return F.lit(2.0 * GEO_RADIUS_M) * F.asin(F.sqrt(h))
+    raise ValueError(f"unknown geo approximation {approx!r} "
+                     "(rectangular | sphere)")
+
+
+def geo_in_circle(point, center, radius_m, approx: str = "rectangular") -> Column:
+    """True iff point lies within radius_m meters of center."""
+    r = radius_m if isinstance(radius_m, Column) else F.lit(float(radius_m))
+    return geo_distance(point, center, approx) <= r
+
+
+def geo_in_rectangle(point, top_left, bottom_right) -> Column:
+    """True iff point lies in the lat/lon-aligned rectangle."""
+    p, tl, br = _geo_col(point), _geo_col(top_left), _geo_col(bottom_right)
+    return (
+        (geo_lat(p) <= geo_lat(tl)) & (geo_lat(p) >= geo_lat(br))
+        & (geo_lon(p) >= geo_lon(tl)) & (geo_lon(p) <= geo_lon(br))
+    )
+
+
 FUNCTIONS = {
     "string_length": string_length,
     "string_slice": string_slice,
@@ -233,4 +306,7 @@ FUNCTIONS = {
     "between": between,
     "in_values": in_values,
     "all_records": all_records,
+    "geo_distance": geo_distance,
+    "geo_in_circle": geo_in_circle,
+    "geo_in_rectangle": geo_in_rectangle,
 }

@@ -31,6 +31,26 @@ from groonga_spark.tokenize import tokenize_str
 from groonga_spark.wand import SegmentQueryKernel
 
 
+def _bounded_levenshtein(a: str, b: str, bound: int) -> int | None:
+    """Edit distance if ≤ bound else None (banded DP, early exit)."""
+    if abs(len(a) - len(b)) > bound:
+        return None
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            row_min = min(row_min, cur[j])
+        if row_min > bound:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= bound else None
+
+
 class FulltextIndex:
     """Query handle for an index built by build.build_index."""
 
@@ -122,6 +142,73 @@ class FulltextIndex:
             )
             terms = terms[:limit]
         return terms
+
+    def fuzzy_terms(self, term: str, max_distance: int = 1,
+                    prefix_length: int = 0,
+                    max_expansions: int = 64) -> list[str]:
+        """Lexicon terms within edit distance ≤ max_distance of ``term``
+        [G: lib/proc.c · func fuzzy_search / grn_table_fuzzy_search],
+        ranked (distance asc, term asc), capped at max_expansions.
+
+        Small lexicons scan driver-side (pyarrow + a bounded DP, zero
+        Spark jobs); big ones run one Catalyst job with
+        ``levenshtein(term, q) <= d`` (+ the prefix range prune)."""
+        q = normalize_str(term).lower()
+        pfx = q[:prefix_length] if prefix_length else ""
+        if self.meta.get("n_terms", 0) <= 100_000:
+            import pyarrow.dataset as ds
+
+            f = None
+            if pfx:
+                f = ds.field("term") >= pfx
+                p = pfx
+                while p and ord(p[-1]) >= 0x10FFFF:
+                    p = p[:-1]
+                if p:
+                    f = f & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
+            dset = ds.dataset(self.store.p("lexicon"), format="parquet")
+            tbl = dset.to_table(columns=["term"], filter=f)
+            cands = [
+                t for t in tbl.column("term").to_pylist()
+                if abs(len(t) - len(q)) <= max_distance
+                and (not pfx or t.startswith(pfx))
+            ]
+            scored = [
+                (d, t) for t in cands
+                if (d := _bounded_levenshtein(t, q, max_distance)) is not None
+            ]
+        else:
+            df = self.lexicon.select("term")
+            if pfx:
+                df = df.filter(F.col("term").startswith(pfx))
+            rows = (
+                df.withColumn("_d", F.levenshtein(F.col("term"), F.lit(q)))
+                .filter(F.col("_d") <= max_distance)
+                .orderBy("_d", "term").limit(max_expansions).collect()
+            )
+            scored = [(r["_d"], r["term"]) for r in rows]
+        scored.sort()
+        out = [t for _, t in scored[:max_expansions]]
+        if len(scored) > max_expansions:
+            import warnings
+
+            warnings.warn(
+                f"fuzzy_search({term!r}, {max_distance}) matched "
+                f"{len(scored)} terms; truncated to {max_expansions}"
+            )
+        return out
+
+    def fuzzy_match_docs(self, term: str, max_distance: int = 1,
+                         prefix_length: int = 0) -> DataFrame:
+        """Docs containing any lexicon term within edit distance ≤
+        max_distance (scored like the equivalent OR)."""
+        from groonga_spark.ql import Or, Term
+
+        terms = self.fuzzy_terms(term, max_distance, prefix_length)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        ast = Or([Term(t) for t in terms]) if len(terms) > 1 else Term(terms[0])
+        return self.match_ast(ast)
 
     def _expand_ast(self, ast, expansions: dict | None = None):
         """Plan-time AST rewrites: QL prefix leaves (``word*``) become an

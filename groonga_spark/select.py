@@ -66,6 +66,12 @@ _QUERY_CALL = re.compile(
     r'\s*("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')\s*\)'
 )
 
+_FUZZY_CALL = re.compile(
+    r'fuzzy_search\(\s*([A-Za-z_][\w.]*)\s*,'
+    r'\s*("(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')'
+    r'(?:\s*,\s*(\d+))?\s*\)'
+)
+
 
 def _rewrite_query_calls(df, flt: str, index, id_col: str):
     """Script-embedded ``query("match_cols", "keywords")`` inside a filter
@@ -94,7 +100,26 @@ def _rewrite_query_calls(df, flt: str, index, id_col: str):
         )
         return f"coalesce({flag}, false)"
 
+    def sub_fuzzy(m: re.Match) -> str:
+        # fuzzy_search(column, "term"[, max_distance]) [G: lib/proc.c ·
+        # func fuzzy_search]: expand via the index lexicon, OR-match
+        _col, q = m.group(1), m.group(2)[1:-1]
+        dist = int(m.group(3) or 1)
+        flag = f"_q{len(flags)}_match"
+        flags.append(flag)
+        nonlocal df
+        matches = index.fuzzy_match_docs(q, max_distance=dist)
+        df = df.join(
+            matches.select(
+                F.col("doc_id").alias(id_col), F.lit(True).alias(flag)
+            ).dropDuplicates([id_col]),
+            id_col,
+            "left",
+        )
+        return f"coalesce({flag}, false)"
+
     rewritten = _QUERY_CALL.sub(sub, flt)  # joins mutate df via nonlocal
+    rewritten = _FUZZY_CALL.sub(sub_fuzzy, rewritten)
     return df, rewritten, flags
 
 
@@ -272,10 +297,10 @@ def select(
 
     if filter:
         drop_flags: list[str] = []
-        if "query(" in filter:
+        if "query(" in filter or "fuzzy_search(" in filter:
             if index is None:
-                raise ValueError('filter contains query(...) but index= '
-                                 'was not provided')
+                raise ValueError('filter contains query()/fuzzy_search() '
+                                 'but index= was not provided')
             df, filter, drop_flags = _rewrite_query_calls(  # noqa: A001
                 df, filter, index, id_col
             )

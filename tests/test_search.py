@@ -566,3 +566,38 @@ def test_query_result_cache(spark, corpus, tmp_path):
         assert a[0][0] not in [x for x, _ in d]
     finally:
         SegmentQueryKernel.run = orig
+
+
+def test_fuzzy_search(spark, corpus, tmp_path):
+    """fuzzy_search: lexicon terms within bounded edit distance expand
+    to an OR; select-filter form composes with Catalyst."""
+    from groonga_spark.select import select
+
+    docs, rows = corpus
+    path = str(tmp_path / "idx_fz")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    assert idx.fuzzy_terms("sparc", 1) == ["spark"]
+    t2 = idx.fuzzy_terms("tabel", 2)
+    assert "table" in t2
+    # prefix_length prunes the scan without changing covered results
+    assert idx.fuzzy_terms("sparc", 1, prefix_length=2) == ["spark"]
+
+    got = {r["doc_id"] for r in idx.fuzzy_match_docs("sparc", 1).collect()}
+    want = {d for d, t in rows if "spark" in t.split()}
+    assert got == want
+
+    # driver-side DP agrees with Spark's levenshtein
+    from groonga_spark.search import _bounded_levenshtein
+
+    for a, b, d in [("spark", "sparc", 1), ("table", "tabel", 2),
+                    ("abc", "xyz", None), ("", "ab", 2), ("same", "same", 0)]:
+        assert _bounded_levenshtein(a, b, 2) == d, (a, b)
+
+    with select(docs, index=idx,
+                filter='fuzzy_search(text, "sparc", 1) && n_chars > 300',
+                limit=-1) as res:
+        got2 = {r["doc_id"] for r in res.hits.collect()}
+    big = {r["doc_id"] for r in docs.filter("n_chars > 300").collect()}
+    assert got2 == (want & big) and got2

@@ -172,3 +172,36 @@ def test_script_embedded_query_in_filter(spark, tmp_path):
     ms = {r["doc_id"] for r in idx.match_docs("spark").collect()}
     big = {r["doc_id"] for r in docs.filter("n_chars > 990").collect()}
     assert got2 == ms | big
+
+
+def test_geo_functions(spark):
+    """geo_distance/in_circle/in_rectangle over both GeoPoint literal
+    forms (degrees with '.', bare milliseconds)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from groonga_spark.functions import (
+        GEO_RADIUS_M,
+        geo_distance,
+        geo_in_circle,
+        geo_in_rectangle,
+    )
+
+    df = spark.createDataFrame(
+        [("35.5x139.25", "127800000x501300000")],  # same point, both forms
+        "deg string, ms string")
+    r = df.select(
+        geo_distance("deg", F.lit("35.5x139.25")).alias("zero"),
+        geo_distance("deg", F.col("ms"), "sphere").alias("d_forms"),
+        geo_distance(F.lit("0x0"), F.lit("0x3600000")).alias("one_deg_lon"),
+        geo_in_circle("deg", F.lit("35.0x139.0"), 200_000).alias("near"),
+        geo_in_circle("deg", F.lit("0x0"), 1000).alias("far"),
+        geo_in_rectangle("deg", F.lit("36.0x139.0"),
+                         F.lit("35.0x140.0")).alias("in_rect"),
+    ).collect()[0]
+    assert r["zero"] == 0.0
+    assert r["d_forms"] == 0.0    # ms form parses to the identical point
+    # one degree of longitude at the equator = R·(π/180)
+    assert abs(r["one_deg_lon"] - GEO_RADIUS_M * math.pi / 180) < 1e-6
+    assert r["near"] and not r["far"] and r["in_rect"]
