@@ -757,6 +757,52 @@ def q_term_df_filtered(spark, sf):
     return _filtered_index(spark, sf).lexicon.select("term", "df", "cf")
 
 
+# -- romaji-kana prefix search (completion surface) -------------------------
+
+_KANA = [0x30CB, 0x30DB, 0x30F3, 0x30AB, 0x30CA, 0x30CF, 0x30B7, 0x30DF]
+# ニ ホ ン カ ナ ハ シ ミ
+
+
+def _kana_word(d: int, w: int) -> str:
+    return "".join(chr(_KANA[(d * a + w * b) % 8])
+                   for a, b in ((3, 7), (5, 11), (7, 13)))
+
+
+_RK_CACHE: dict[str, object] = {}
+
+
+def _rk_index(spark: SparkSession, sf_dir: str):
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _RK_CACHE:
+        return _RK_CACHE[key]
+    ids = [r["doc_id"] for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+    rows = [(d, " ".join(_kana_word(d, w) for w in range(d % 3 + 2)))
+            for d in sorted(ids)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gs_rk_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    build_index(spark, docs, path, mode="delimit")
+    idx = FulltextIndex(spark, path)
+    _RK_CACHE[key] = idx
+    return idx
+
+
+def q_prefix_rk(spark, sf):
+    """prefix_rk_search('ni') over a deterministic katakana corpus: the
+    romaji prefix expands to the kana prefix ニ, matched via the lexicon
+    range scan (the reference's rk completion surface)."""
+    return _rk_index(spark, sf).prefix_rk_match_docs("ni").select("doc_id")
+
+
 # -- weighted multi-field match (match_columns / BM25F) ---------------------
 
 _MF_CACHE: dict[str, object] = {}
@@ -876,9 +922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_vector": q_scalar_vector,
         "edit_distance": q_edit_distance,
         "time_interval": q_time_interval,
-        # geo + fuzzy functions (§2.8)
+        # geo + fuzzy + rk functions (§2.8)
         "geo_funcs": q_geo_funcs,
         "fuzzy_search": q_fuzzy_search,
+        "prefix_rk": q_prefix_rk,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1192,6 +1239,30 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS})
             WHERE levenshtein(term, 'sparc') <= 1""",
+        # same katakana corpus derived from doc ids; romaji 'ni' → ニ
+        "prefix_rk": """
+            WITH k AS (SELECT doc_id,
+                              list_transform(range(doc_id % 3 + 2), w ->
+                                chr((CASE (doc_id*3 + w*7) % 8
+                                     WHEN 0 THEN 12491 WHEN 1 THEN 12507
+                                     WHEN 2 THEN 12531 WHEN 3 THEN 12459
+                                     WHEN 4 THEN 12490 WHEN 5 THEN 12495
+                                     WHEN 6 THEN 12471 ELSE 12511 END)::INT)
+                                || chr((CASE (doc_id*5 + w*11) % 8
+                                     WHEN 0 THEN 12491 WHEN 1 THEN 12507
+                                     WHEN 2 THEN 12531 WHEN 3 THEN 12459
+                                     WHEN 4 THEN 12490 WHEN 5 THEN 12495
+                                     WHEN 6 THEN 12471 ELSE 12511 END)::INT)
+                                || chr((CASE (doc_id*7 + w*13) % 8
+                                     WHEN 0 THEN 12491 WHEN 1 THEN 12507
+                                     WHEN 2 THEN 12531 WHEN 3 THEN 12459
+                                     WHEN 4 THEN 12490 WHEN 5 THEN 12495
+                                     WHEN 6 THEN 12471 ELSE 12511 END)::INT))
+                                AS words
+                       FROM documents)
+            SELECT doc_id FROM k
+            WHERE len(list_filter(words,
+                      w -> w LIKE chr(12491) || '%')) > 0""",
         # same formulas as functions.geo_*: R = 6371008.8, ms/3.6e6 deg
         "geo_funcs": """
             WITH g AS (

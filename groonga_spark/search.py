@@ -210,6 +210,32 @@ class FulltextIndex:
         ast = Or([Term(t) for t in terms]) if len(terms) > 1 else Term(terms[0])
         return self.match_ast(ast)
 
+    def prefix_rk_terms(self, romaji: str, limit: int | None = None) -> list[str]:
+        """Lexicon terms whose katakana reading starts with the romaji
+        prefix [G: lib/proc.c · func prefix_rk_search] — rk_expand gives
+        the kana prefixes, each resolved with the pruned lexicon range
+        scan (zero Spark jobs)."""
+        from groonga_spark.rk import rk_expand
+
+        out: set[str] = set()
+        for p in rk_expand(romaji):
+            if p:
+                out.update(self._prefix_terms(p))
+        terms = sorted(out)
+        if limit is not None:
+            terms = terms[:limit]
+        return terms
+
+    def prefix_rk_match_docs(self, romaji: str) -> DataFrame:
+        """Docs containing any term matched by the romaji prefix."""
+        from groonga_spark.ql import Or, Term
+
+        terms = self.prefix_rk_terms(romaji)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        ast = Or([Term(t) for t in terms]) if len(terms) > 1 else Term(terms[0])
+        return self.match_ast(ast)
+
     def _expand_ast(self, ast, expansions: dict | None = None):
         """Plan-time AST rewrites: QL prefix leaves (``word*``) become an
         OR over matching lexicon terms; ``expansions`` (query_expand

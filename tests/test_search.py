@@ -601,3 +601,33 @@ def test_fuzzy_search(spark, corpus, tmp_path):
         got2 = {r["doc_id"] for r in res.hits.collect()}
     big = {r["doc_id"] for r in docs.filter("n_chars > 300").collect()}
     assert got2 == (want & big) and got2
+
+
+def test_prefix_rk_search(spark, tmp_path):
+    """Romaji prefix → katakana lexicon terms (completion surface)."""
+    from groonga_spark.rk import rk_expand
+
+    assert rk_expand("ni") == ["ニ"]
+    assert rk_expand("niho") == ["ニホ"]
+    assert set(rk_expand("h")) == {"ハ", "ヒ", "フ", "ヘ", "ホ"}
+    assert rk_expand("kitte") == ["キッテ"]
+    assert "ニホン" in rk_expand("nihon")  # plus ナ-row continuations
+
+    rows = [
+        (0, "ニホン カタカナ"),
+        (1, "ニシ ヒガシ"),
+        (2, "ハナ ミズ"),
+        (3, "ニホンゴ ベンキョウ"),
+        (4, "alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_rk")
+    build_index(spark, docs, path, mode="delimit", segment_size=100)
+    idx = FulltextIndex(spark, path)
+
+    assert idx.prefix_rk_terms("ni") == ["ニシ", "ニホン", "ニホンゴ"]
+    assert idx.prefix_rk_terms("nihon") == ["ニホン", "ニホンゴ"]
+    assert idx.prefix_rk_terms("ha") == ["ハナ"]
+    assert idx.prefix_rk_terms("h") == ["ハナ", "ヒガシ"]
+    got = {r["doc_id"] for r in idx.prefix_rk_match_docs("niho").collect()}
+    assert got == {0, 3}
