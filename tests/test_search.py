@@ -631,3 +631,74 @@ def test_prefix_rk_search(spark, tmp_path):
     assert idx.prefix_rk_terms("h") == ["ハナ", "ヒガシ"]
     got = {r["doc_id"] for r in idx.prefix_rk_match_docs("niho").collect()}
     assert got == {0, 3}
+
+
+def test_pruned_path_fuzz_random_queries(spark, tmp_path):
+    """Fuzz: 120 random query ASTs (terms/phrases/nears, nested OR/AND,
+    NOTs, duplicates, unknown tokens) × random k — the pruned path must
+    be bit-identical to the exhaustive evaluator on a skewed corpus."""
+    import random
+
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)] + ["alpha", "beta", "gamma"]
+    rows = []
+    for d in range(4000):
+        words = []
+        if rng.random() < 0.5:
+            words += ["alpha"] * (25 if d < 120 else 1)
+        if rng.random() < 0.4:
+            words += ["beta"] * (18 if 200 <= d < 320 else 1)
+        words += [rng.choice(vocab) for _ in range(rng.randrange(4, 30))]
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_fuzz")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=48)
+    idx = FulltextIndex(spark, path)
+
+    def rand_leaf():
+        r = rng.random()
+        t = rng.choice(vocab + ["zzznope"])
+        if r < 0.55:
+            return t
+        if r < 0.75:
+            return f'"{t} {rng.choice(vocab)}"'
+        if r < 0.9:
+            return f'*N{rng.randrange(1, 8)}"{t} {rng.choice(vocab)}"'
+        return f"({t} OR {rng.choice(vocab)})"
+
+    def rand_query():
+        n = rng.randrange(1, 4)
+        parts = [rand_leaf() for _ in range(n)]
+        if rng.random() < 0.4:
+            parts.append(f"-{rng.choice(vocab)}")
+        q = " ".join(parts)
+        if rng.random() < 0.3:
+            q = f"{q} OR {rand_leaf()}"
+        return q
+
+    checked = pruned_used = 0
+    for _ in range(120):
+        q = rand_query()
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        if pdf is None or not plan["needed_tids"]:
+            continue
+        k = rng.choice([1, 3, 10, 50])
+        kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+        kern.PRUNE_MIN_BLOCKS = 0
+        pr = kern._pruned_multi(ast)
+        kern2 = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+        want = _topk(*kern2.eval(ast), k)
+        if pr is None:
+            continue  # legitimately unpruneable shape
+        pruned_used += 1
+        assert (pr[0] == want[0]).all(), (q, k, pr, want)
+        assert (pr[1] == want[1]).all(), (q, k)
+        checked += 1
+    assert pruned_used >= 60, pruned_used  # the fuzzer exercises the pruner
