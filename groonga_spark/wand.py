@@ -6,12 +6,18 @@ grn_ii_select / grn_ii_sel; token_info cursors + result-set ops] — but
 where the reference scores EVERY hit then sorts [G: lib/ii.c → grn_hash →
 grn_table_sort], this kernel prunes with the skip-block metadata:
 
-- AND: rarest term (min df) decoded first [G: lib/ii.c ·
+- top-k (run): multi-term block-max WAND via the INTERVAL algorithm
+  (_topk_interval_pruned): doc-id space partitioned at every block edge,
+  interval bounds from Σ covering-block bounds, descending-bound
+  processing with a strict kth-score stop — covers AND/OR/NOT/phrase/
+  near roots (phrase/near verify positions on surviving candidates
+  only; NOT terms decode candidate-driven). Bit-identical to the
+  exhaustive path; indexes under PRUNE_MIN_BLOCKS route to the batched
+  exhaustive decode instead (cheaper at small scale / per shard);
+- match (eval): rarest term (min df) decoded first [G: lib/ii.c ·
   grn_ii_estimate_size — same rarest-first idea], other terms decode ONLY
   blocks whose [min_doc_id, max_doc_id] overlap surviving candidates
   (searchsorted range pruning — the skip-list seek);
-- single-term top-k: blocks processed in descending upper-bound order with
-  a top-k threshold early-exit (block-max pruning);
 - phrase: positional adjacency via intersect of (pos - offset) arrays
   (the reference's ngram-adjacency check in token_info chaining);
 - NOT: doc-id setdiff (AND-NOT of [G: grn_table_setoperation]).
@@ -760,7 +766,7 @@ class SegmentQueryKernel:
                 run_doc, run_score = _topk(run_doc, run_score, k)
         return _topk(run_doc, run_score, k)
 
-    def _or_members(self, children) -> list[int] | None | tuple:
+    def _or_members(self, children) -> list[int] | None:
         """Or children → member tids in child order. None → shape not
         pruneable (fall back); empty list → no live member."""
         toks = []
