@@ -368,7 +368,18 @@ def select(
         if isinstance(output_columns, str):
             output_columns = [c.strip() for c in output_columns.split(",")]
         if output_columns != ["*"]:
-            hits = hits.select(*output_columns)
+            # Groonga allows script-syntax EXPRESSIONS in output_columns
+            # ("n_chars * 2", "snippet_html(...)"); plain identifiers stay
+            # name-selects (keeps Catalyst column pruning obvious)
+            cols = []
+            for c in output_columns:
+                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                    cols.append(F.col(c))
+                else:
+                    cols.append(F.expr(script_to_sql(c)).alias(
+                        re.sub(r"\W+", "_", c).strip("_")
+                    ))
+            hits = hits.select(*cols)
 
     return SelectResult(hits=hits, n_hits=n_hits, drilldowns=dd, slices=sl,
                         _cached=cached)

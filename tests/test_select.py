@@ -205,3 +205,16 @@ def test_geo_functions(spark):
     # one degree of longitude at the equator = R·(π/180)
     assert abs(r["one_deg_lon"] - GEO_RADIUS_M * math.pi / 180) < 1e-6
     assert r["near"] and not r["far"] and r["in_rect"]
+
+
+def test_output_columns_expressions(spark):
+    """output_columns accepts script-syntax expressions, not just names
+    (the reference's computed output columns)."""
+    from groonga_spark.select import select
+
+    df = spark.range(5).withColumn("n", F.col("id") * 10)
+    with select(df, sort_keys="id", limit=-1, id_col="id",
+                output_columns="id, n * 2, id == 3") as res:
+        rows = res.hits.collect()
+    assert [tuple(r) for r in rows][:2] == [(0, 0, False), (1, 20, False)]
+    assert rows[3][2] is True
