@@ -37,7 +37,17 @@ from pyspark.sql import functions as F
 
 from groonga_spark.algebra import combine
 from groonga_spark.build import build_index
-from groonga_spark.ql import And, Not, Or, Phrase, Prefix, Term, parse_query
+from groonga_spark.ql import (
+    And,
+    Near,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Similar,
+    Term,
+    parse_query,
+)
 from groonga_spark.search import FulltextIndex
 
 MANIFEST = "multifield.json"
@@ -138,7 +148,9 @@ class MultiFieldIndex:
     def _eval(self, node, cols) -> DataFrame:
         if node is None:
             return self._empty()
-        if isinstance(node, (Term, Phrase, Prefix)):
+        if isinstance(node, (Term, Phrase, Prefix, Near, Similar)):
+            # positional/similarity leaves evaluate per field through the
+            # same kernel (cross-field OR like any other leaf)
             return self._leaf(node, cols)
         if isinstance(node, And):
             pos = [c for c in node.children if not isinstance(c, Not)]

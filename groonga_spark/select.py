@@ -108,6 +108,12 @@ def _rewrite_query_calls(df, flt: str, index, id_col: str):
         flag = f"_q{len(flags)}_match"
         flags.append(flag)
         nonlocal df
+        if not hasattr(index, "fuzzy_match_docs"):
+            raise ValueError(
+                "fuzzy_search() in a filter needs a single-field "
+                "FulltextIndex (got a multi-field index — pick a field's "
+                "index via MultiFieldIndex.field())"
+            )
         matches = index.fuzzy_match_docs(q, max_distance=dist)
         df = df.join(
             matches.select(
@@ -271,7 +277,10 @@ def select(
             if match_columns is not None
             else index.match_docs(query)
         )
-        if match_escalation_threshold is not None:
+        if (match_escalation_threshold is not None
+                and hasattr(index, "_prefix_terms")):
+            # escalation relaxes via the lexicon prefix scan — single-
+            # field indexes only (a MultiFieldIndex has one per field)
             n = matches.count()
             if n <= match_escalation_threshold:
                 esc = _escalate_query(index, query)

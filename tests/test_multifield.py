@@ -158,3 +158,30 @@ def test_select_with_match_columns(spark, built, corpus):
     assert res.n_hits == len(
         built.match_docs("spark merge", "title*10||body").collect())
     assert len(hits) == min(5, res.n_hits)
+
+
+def test_multifield_near_and_prefix_leaves(built, oracle, corpus):
+    """Near/prefix leaves evaluate per field and OR across fields."""
+    rows, _ = corpus
+    got = {r["doc_id"] for r in
+           built.match_docs('*N4"spark merge"', "title||body").collect()}
+    # oracle: near within one field, any field
+    import re
+
+    def near_in(text, a, b, n):
+        w = text.split()
+        pa = [i for i, x in enumerate(w) if x == a]
+        pb = [i for i, x in enumerate(w) if x == b]
+        return any(abs(i - j) <= n for i in pa for j in pb)
+
+    want = {d for d, v in rows
+            if near_in(v["title"], "spark", "merge", 4)
+            or near_in(v["body"], "spark", "merge", 4)}
+    assert got == want
+    # prefix leaf
+    gp = {r["doc_id"] for r in
+          built.match_docs("sp*", "title||body").collect()}
+    wp = {d for d, v in rows
+          if any(t.startswith("sp")
+                 for t in (v["title"] + " " + v["body"]).split())}
+    assert gp == wp and gp
