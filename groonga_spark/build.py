@@ -661,7 +661,7 @@ def build_index(
     spark: SparkSession,
     docs: DataFrame,
     path: str,
-    mode: str = "delimit",
+    mode: str | None = "delimit",
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     salt_target: int | None = None,
     resume: bool = True,
@@ -687,6 +687,22 @@ def build_index(
     """
     store = IndexStore(path)
     os.makedirs(path, exist_ok=True)
+
+    # a resumed build MUST tokenize like the committed segments — mixed
+    # modes silently corrupt the index (same lexicon, different token
+    # streams). mode=None adopts the index's recorded mode.
+    if resume and os.path.exists(store.meta_path):
+        recorded_mode = store.read_meta().get("tokenizer_mode")
+        if mode is None:
+            mode = recorded_mode
+        elif recorded_mode is not None and mode != recorded_mode:
+            raise ValueError(
+                f"index at {path} was built with tokenizer_mode="
+                f"{recorded_mode!r} but mode={mode!r} was requested; "
+                "pass mode=None to adopt it, or resume=False to rebuild"
+            )
+    if mode is None:
+        mode = "delimit"
 
     bounds = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     if bounds[0] is None:

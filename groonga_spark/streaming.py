@@ -36,7 +36,7 @@ def append_docs(
     spark: SparkSession,
     all_docs: DataFrame,
     path: str,
-    mode: str = "delimit",
+    mode: str | None = None,
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     shard_size: int = DEFAULT_SHARD_SIZE,
 ) -> dict:

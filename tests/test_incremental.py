@@ -194,3 +194,20 @@ def test_append_only_skips_below_high_water_mark(spark, docs, tmp_path):
     idx2 = FulltextIndex(spark, path)
     assert 10 in {r["doc_id"]
                   for r in idx2.match_docs("tampered").collect()}
+
+
+def test_resume_mode_mismatch_guard(spark, docs, tmp_path):
+    """A resumed build with a different tokenizer mode must refuse
+    (mixed modes silently corrupt); mode=None adopts the index's."""
+    path = str(tmp_path / "idx_mode")
+    build_index(spark, docs.filter(F.col("doc_id") < 250), path,
+                mode="delimit|stop:the", segment_size=200)
+    with pytest.raises(ValueError, match="tokenizer_mode"):
+        build_index(spark, docs, path, mode="bigram", segment_size=200,
+                    resume=True)
+    from groonga_spark.streaming import append_docs
+
+    append_docs(spark, docs, path, segment_size=200)  # adopts the mode
+    idx = FulltextIndex(spark, path)
+    assert idx.meta["tokenizer_mode"] == "delimit|stop:the"
+    assert idx.meta["n_docs"] == docs.count()

@@ -65,7 +65,8 @@ def test_match_counts(q, built, oracle):
     assert built.match_docs(q).count() == oracle.match_count(q)
 
 
-@pytest.mark.parametrize("q", ["spark merge", '"spark fast"', "table -scan"])
+@pytest.mark.parametrize("q", ["spark merge", '"spark fast"', "table -scan",
+                               '*N3"spark merge"', "(table OR merge) -slow"])
 def test_local_and_distributed_paths_identical(q, built):
     """The driver-local search-head path and the per-(segment, shard)
     cluster path run the same kernel — results must be identical."""
