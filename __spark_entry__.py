@@ -188,6 +188,24 @@ def q_select_query_filter(spark, sf):
     return res.hits
 
 
+def q_select_scorer(spark, sf):
+    """--scorer '_score = n_chars': per-record score reassignment."""
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        index=_index(spark, sf),
+        query="spark",
+        scorer="_score = n_chars",
+        sort_keys="-_score,doc_id",
+        limit=10,
+        output_columns=["doc_id", "_score"],
+        need_hit_count=False,
+    )
+    return res.hits.withColumn("_score", F.col("_score").cast("double"))
+
+
 def q_drilldown_lang(spark, sf):
     from groonga_spark.select import select
 
@@ -896,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
         "select_query_filter": q_select_query_filter,
+        "select_scorer": q_select_scorer,
         "drilldown_lang": q_drilldown_lang,
         "drilldown_calc": q_drilldown_calc,
         "drilldown_multi": q_drilldown_multi,
@@ -1287,6 +1306,10 @@ def oracle_sql() -> dict[str, str]:
                     AND degrees(lo) >= -30 AND degrees(lo) <= 30)
                      AS in_rect
             FROM d""",
+        "select_scorer": """
+            SELECT doc_id, n_chars::DOUBLE AS _score FROM documents
+            WHERE list_contains(string_split(text, ' '), 'spark')
+            ORDER BY n_chars DESC, doc_id LIMIT 10""",
         "select_query_filter": """
             SELECT doc_id, n_chars FROM documents
             WHERE list_contains(string_split(text, ' '), 'spark')

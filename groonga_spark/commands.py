@@ -206,6 +206,7 @@ def _cmd_select(
     columns: dict | None = None,
     match_escalation_threshold: int | None = None,
     adjuster: list | None = None,
+    scorer: str | None = None,
     output_type: str = "python",
 ):
     """The reference's `select` with its parameter names/conventions:
@@ -224,6 +225,7 @@ def _cmd_select(
         slices=slices,
         columns=columns,
         adjuster=adjuster,
+        scorer=scorer,
         match_escalation_threshold=match_escalation_threshold,
         match_columns=match_columns,
         id_col=ctx.id_cols.get(table, "doc_id"),

@@ -254,6 +254,7 @@ def select(
     id_col: str = "doc_id",
     need_hit_count: bool = True,
     match_columns: str | None = None,
+    scorer: str | None = None,
 ) -> SelectResult:
     """The grn_select pipeline over a DataFrame (+ optional fulltext index).
 
@@ -303,6 +304,18 @@ def select(
         )
     else:
         df = df.withColumn("_score", F.lit(0.0))
+
+    if scorer is not None:
+        # --scorer '_score = <script expr>' [G: select scorer parameter;
+        # grn_expr executed per record after selection]: reassign (or
+        # adjust, e.g. '_score = _score + n_likes') via Catalyst
+        m = re.match(r"\s*_score\s*=\s*(.+)$", scorer)
+        if not m:
+            raise ValueError(f"scorer must look like '_score = <expr>': "
+                             f"{scorer!r}")
+        df = df.withColumn(
+            "_score", F.expr(script_to_sql(m.group(1))).cast("double")
+        )
 
     if filter:
         drop_flags: list[str] = []

@@ -218,3 +218,39 @@ def test_output_columns_expressions(spark):
         rows = res.hits.collect()
     assert [tuple(r) for r in rows][:2] == [(0, 0, False), (1, 20, False)]
     assert rows[3][2] is True
+
+
+def test_scorer_parameter(spark, tmp_path):
+    """--scorer '_score = expr': per-record score reassignment/adjust."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.select import select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx_sc")
+    build_index(spark, docs, path, mode="delimit", segment_size=500)
+    idx = FulltextIndex(spark, path)
+
+    with select(docs, index=idx, query="spark",
+                scorer="_score = n_chars",
+                sort_keys="-_score,doc_id", limit=5,
+                output_columns=["doc_id", "_score", "n_chars"]) as res:
+        rows = res.hits.collect()
+    assert all(r["_score"] == float(r["n_chars"]) for r in rows)
+    assert [r["_score"] for r in rows] == sorted(
+        [r["_score"] for r in rows], reverse=True)
+
+    with select(docs, index=idx, query="spark",
+                scorer="_score = _score * 2", sort_keys="-_score,doc_id",
+                limit=3, output_columns=["doc_id", "_score"]) as res2:
+        doubled = [(r["doc_id"], r["_score"]) for r in res2.hits.collect()]
+    with select(docs, index=idx, query="spark",
+                sort_keys="-_score,doc_id", limit=3,
+                output_columns=["doc_id", "_score"]) as res3:
+        base = [(r["doc_id"], r["_score"]) for r in res3.hits.collect()]
+    assert doubled == [(d, s * 2) for d, s in base]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        select(docs, scorer="n_chars + 1")
