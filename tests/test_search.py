@@ -703,3 +703,54 @@ def test_pruned_path_fuzz_random_queries(spark, tmp_path):
         assert (pr[1] == want[1]).all(), (q, k)
         checked += 1
     assert pruned_used >= 60, pruned_used  # the fuzzer exercises the pruner
+
+
+def test_pruned_path_fuzz_bigram_cjk(spark, tmp_path):
+    """Bigram-mode fuzz: CJK words make every multi-char Term leaf a
+    positional phrase — pruned vs exhaustive must stay bit-identical."""
+    import random
+
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    rng = random.Random(7)
+
+    def word():
+        n = rng.randrange(2, 5)
+        return "".join(chr(0x4E00 + rng.randrange(40)) for _ in range(n))
+
+    vocab = [word() for _ in range(30)]
+    rows = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(3, 15))))
+            for d in range(2500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_cjk_fuzz")
+    build_index(spark, docs, path, mode="bigram", segment_size=1 << 20,
+                shard_size=48)
+    idx = FulltextIndex(spark, path)
+
+    checked = 0
+    for _ in range(40):
+        parts = [rng.choice(vocab) for _ in range(rng.randrange(1, 3))]
+        if rng.random() < 0.4:
+            parts = [parts[0], "OR", rng.choice(vocab)]
+        if rng.random() < 0.3:
+            parts.append(f"-{rng.choice(vocab)}")
+        q = " ".join(parts)
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        if pdf is None or not plan["needed_tids"]:
+            continue
+        k = rng.choice([1, 5, 20])
+        kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+        kern.PRUNE_MIN_BLOCKS = 0
+        pr = kern._pruned_multi(ast)
+        want = _topk(*SegmentQueryKernel(pdf, plan, idx._stats(), k)
+                     .eval(ast), k)
+        if pr is None:
+            continue
+        assert (pr[0] == want[0]).all(), (q, k)
+        assert (pr[1] == want[1]).all(), (q, k)
+        checked += 1
+    assert checked >= 20, checked
