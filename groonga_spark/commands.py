@@ -145,6 +145,12 @@ def _cmd_normalize(ctx: CommandContext, normalizer: str, string: str, **_):
 
 
 def _cmd_load(ctx: CommandContext, table: str, values, key: str | None = None):
+    """Upserts the TABLE only. The reference's load also maintains index
+    columns in place [G: lib/proc.c · proc_load → index hooks]; immutable
+    segments can't — so when the table has a registered fulltext index the
+    divergence is made VISIBLE (warning + ``index_stale`` flag) instead of
+    silently serving stale matches. Rebuild/append via build_index(resume=
+    True) or streaming.append_docs picks the new rows up."""
     from groonga_spark.load import load_json, upsert
 
     incoming = load_json(ctx.spark, values)
@@ -154,7 +160,17 @@ def _cmd_load(ctx: CommandContext, table: str, values, key: str | None = None):
     else:
         ctx.tables[table] = incoming
         ctx.id_cols.setdefault(table, key)
-    return {"n_loaded": incoming.count()}
+    out = {"n_loaded": incoming.count()}
+    if table in ctx.indexes:
+        import warnings
+
+        warnings.warn(
+            f"load into {table!r}: its fulltext index was NOT updated — "
+            "select --query serves pre-load matches until the index is "
+            "rebuilt/appended (build_index resume / append_docs)"
+        )
+        out["index_stale"] = True
+    return out
 
 
 def _cmd_delete(ctx: CommandContext, table: str, key: str | None = None,

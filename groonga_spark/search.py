@@ -66,6 +66,22 @@ class FulltextIndex:
         from collections import OrderedDict
 
         self._result_cache: OrderedDict[tuple, pd.DataFrame] = OrderedDict()
+        self._generation = self._cache_generation()
+
+    def _check_generation(self) -> tuple:
+        """Detect index mutation by ANOTHER handle/process (append, rebuild,
+        compaction, delete) and drop every per-handle cache — not just the
+        result cache. Without this, a result-cache miss after mutation
+        would recompute against a STALE lexicon / postings plan / avgdl
+        and return wrong answers, not merely uncached ones."""
+        gen = self._cache_generation()
+        if gen != self._generation:
+            self._lex_cache.clear()
+            self._postings_df = None
+            self._tombstones = None
+            self.meta = self.store.read_meta()
+            self._generation = gen
+        return gen
 
     @property
     def postings(self) -> DataFrame:
@@ -409,13 +425,13 @@ class FulltextIndex:
         ``expansions`` = synonym map (query_expand). Driver-local top-k
         results are served from the per-handle result cache unless
         ``use_cache=False`` (invalidated by deletes/compaction)."""
+        gen = self._check_generation()
         cache_key = None
         if use_cache and distributed is not True:
             exp_key = (tuple(sorted((t, tuple(v)) for t, v in
                                     expansions.items()))
                        if expansions else None)
-            cache_key = (query, k, exp_key, distributed,
-                         self._cache_generation())
+            cache_key = (query, k, exp_key, distributed, gen)
             hit = self._result_cache_get(cache_key)
             if hit is not None:
                 return self.spark.createDataFrame(
@@ -471,6 +487,7 @@ class FulltextIndex:
                   distributed: bool | None = None) -> DataFrame:
         """match_docs over a pre-expanded AST (multi-field leaf eval and
         other composers enter here)."""
+        self._check_generation()
         plan = self._plan(ast)
         spark = self.spark
         if ast is None or not plan["needed_tids"]:

@@ -73,6 +73,21 @@ _FUZZY_CALL = re.compile(
 )
 
 
+def _accepts_match_columns(index) -> bool:
+    """Whether ``index.match_docs`` takes a ``match_columns`` kwarg (a
+    MultiFieldIndex does; a single-field FulltextIndex has exactly one
+    match target). Signature inspection, NOT try/except — a TypeError
+    raised inside the engine must propagate, not silently re-run the
+    query without the column spec."""
+    import inspect
+
+    try:
+        sig = inspect.signature(index.match_docs)
+    except (TypeError, ValueError):
+        return False
+    return "match_columns" in sig.parameters
+
+
 def _rewrite_query_calls(df, flt: str, index, id_col: str):
     """Script-embedded ``query("match_cols", "keywords")`` inside a filter
     string [G: script-syntax query() in grn_expr]: each call evaluates
@@ -87,9 +102,9 @@ def _rewrite_query_calls(df, flt: str, index, id_col: str):
         flag = f"_q{len(flags)}_match"
         flags.append(flag)
         nonlocal df
-        try:
+        if _accepts_match_columns(index):
             matches = index.match_docs(q, match_columns=cols)
-        except TypeError:  # single-field index: one match target
+        else:  # single-field index: one match target
             matches = index.match_docs(q)
         df = df.join(
             matches.select(
@@ -273,11 +288,16 @@ def select(
         if index is None:
             raise ValueError("query= requires index=")
         # match_columns (weighted multi-field spec) needs a MultiFieldIndex
-        matches = (
-            index.match_docs(query, match_columns=match_columns)
-            if match_columns is not None
-            else index.match_docs(query)
-        )
+        if match_columns is not None:
+            if not _accepts_match_columns(index):
+                raise ValueError(
+                    "match_columns= needs a multi-field index "
+                    "(build_multifield_index); this index has a single "
+                    "match target"
+                )
+            matches = index.match_docs(query, match_columns=match_columns)
+        else:
+            matches = index.match_docs(query)
         if (match_escalation_threshold is not None
                 and hasattr(index, "_prefix_terms")):
             # escalation relaxes via the lexicon prefix scan — single-
@@ -305,18 +325,6 @@ def select(
     else:
         df = df.withColumn("_score", F.lit(0.0))
 
-    if scorer is not None:
-        # --scorer '_score = <script expr>' [G: select scorer parameter;
-        # grn_expr executed per record after selection]: reassign (or
-        # adjust, e.g. '_score = _score + n_likes') via Catalyst
-        m = re.match(r"\s*_score\s*=\s*(.+)$", scorer)
-        if not m:
-            raise ValueError(f"scorer must look like '_score = <expr>': "
-                             f"{scorer!r}")
-        df = df.withColumn(
-            "_score", F.expr(script_to_sql(m.group(1))).cast("double")
-        )
-
     if filter:
         drop_flags: list[str] = []
         if "query(" in filter or "fuzzy_search(" in filter:
@@ -337,6 +345,21 @@ def select(
 
     if post_filter:
         df = df.filter(F.expr(script_to_sql(post_filter)))
+
+    if scorer is not None:
+        # --scorer '_score = <script expr>' [G: select scorer parameter;
+        # grn_expr executed per record on the POST-selection match set —
+        # after filter/post_filter, before sort/drilldowns — so a filter
+        # referencing _score sees the ORIGINAL match score, exactly
+        # grn_select's documented evaluation order]: reassign (or adjust,
+        # e.g. '_score = _score + n_likes') via Catalyst
+        m = re.match(r"\s*_score\s*=\s*(.+)$", scorer)
+        if not m:
+            raise ValueError(f"scorer must look like '_score = <expr>': "
+                             f"{scorer!r}")
+        df = df.withColumn(
+            "_score", F.expr(script_to_sql(m.group(1))).cast("double")
+        )
 
     # Cache only when >1 consumer will actually read the base plan
     # (n_hits count + drilldowns/slices/hits). Pipeline use can pass

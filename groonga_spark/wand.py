@@ -229,7 +229,12 @@ class SegmentQueryKernel:
             if not tids:
                 return empty
             if len(set(tids)) == 1:
-                return self._eval_single(tids[0])
+                # one distinct token (*N"x x", CJK bigram runs): every doc
+                # holding the token satisfies the window trivially; score
+                # follows the duplicate-occurrence algebra everywhere else
+                # (_intersect_scored): count × BM25
+                d, s = self._eval_single(tids[0])
+                return (d, s * float(len(tids))) if len(tids) > 1 else (d, s)
             return self._eval_near(tids, node.max_interval)
         if isinstance(node, Similar):
             tids = self._leaf_tokens(node.text)
@@ -794,7 +799,12 @@ class SegmentQueryKernel:
         if not tids:
             return "empty"
         if isinstance(node, Near) and len(set(tids)) == 1:
-            tids = [tids[0]]  # exhaustive Near degenerates to one term
+            # degenerate Near: window check is trivial; keep the duplicate-
+            # occurrence weight (count × BM25 — mirrors eval())
+            if tids[0] not in self.by_tid:
+                return "empty"
+            return {"kind": "or", "members": [(tids[0], float(len(tids)))],
+                    "post": None}
         if len(tids) == 1:
             if tids[0] not in self.by_tid:
                 return "empty"
@@ -826,8 +836,10 @@ class SegmentQueryKernel:
             g = self._leaf_group(ast)
             if g == "empty":
                 return empty
-            if g["kind"] == "or":  # single token
+            if g["kind"] == "or" and g["members"][0][1] == 1.0:
                 return self._topk_single_pruned(g["members"][0][0])
+            if g["kind"] == "or":  # weighted single token (degenerate Near)
+                return self._topk_interval_pruned([g], "or")
             return self._topk_interval_pruned([g], "and")
         if isinstance(ast, Or):
             groups = []
@@ -841,7 +853,8 @@ class SegmentQueryKernel:
             if not groups:
                 return empty
             if (len(groups) == 1 and groups[0]["kind"] == "or"
-                    and len(groups[0]["members"]) == 1):
+                    and len(groups[0]["members"]) == 1
+                    and groups[0]["members"][0][1] == 1.0):
                 return self._topk_single_pruned(groups[0]["members"][0][0])
             return self._topk_interval_pruned(groups, "or")
         if isinstance(ast, And):

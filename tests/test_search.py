@@ -526,7 +526,11 @@ def test_near_and_similar_vs_oracle(spark, corpus, tmp_path):
     idx = FulltextIndex(spark, path)
     orc = OracleIndex(rows, mode="delimit")
     for q in ['*N"spark merge"', '*N3"spark merge"', '*N5"table scan"',
-              '*S"spark merge window"']:
+              '*S"spark merge window"',
+              # degenerate near: one distinct token repeated — window is
+              # trivially satisfied; score = count × BM25 (the duplicate-
+              # occurrence algebra, same as the oracle's _near)
+              '*N"spark spark"', '*N3"spark spark spark"']:
         got = [(r["doc_id"], r["score"]) for r in idx.search(q, 10).collect()]
         want = orc.search(q, 10)
         assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
@@ -754,3 +758,42 @@ def test_pruned_path_fuzz_bigram_cjk(spark, tmp_path):
         assert (pr[1] == want[1]).all(), (q, k)
         checked += 1
     assert checked >= 20, checked
+
+
+def test_handle_invalidation_on_external_mutation(spark, tmp_path):
+    """A handle whose index was rebuilt by ANOTHER handle/process must not
+    answer from its stale lexicon/postings/meta caches — generation change
+    (meta mtime + tombstone count) drops them all, so the recompute uses
+    the NEW index, not just a fresh result-cache entry."""
+    import time as _t
+
+    path = str(tmp_path / "idx_gen")
+    docs1 = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple cherry"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs1, path, mode="delimit", segment_size=100)
+    handle = FulltextIndex(spark, path)
+    got1 = {r["doc_id"] for r in handle.search("apple", 10).collect()}
+    assert got1 == {0, 1}
+    assert "apple" in handle._lex_cache  # the memo we must invalidate
+
+    _t.sleep(0.02)  # ensure a distinct meta mtime
+    docs2 = spark.createDataFrame(
+        [(0, "durian elderberry"), (1, "apple durian"),
+         (2, "apple apple fig"), (3, "fig elderberry")],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs2, path, mode="delimit", segment_size=100,
+                resume=False)
+
+    got2 = {r["doc_id"] for r in handle.search("apple", 10).collect()}
+    fresh = FulltextIndex(spark, path)
+    want2 = {r["doc_id"] for r in fresh.search("apple", 10).collect()}
+    assert got2 == want2 == {1, 2}
+    # scores also match the fresh handle bit-for-bit (stats refreshed)
+    s_handle = sorted((r["doc_id"], r["score"])
+                      for r in handle.search("apple", 10).collect())
+    s_fresh = sorted((r["doc_id"], r["score"])
+                     for r in fresh.search("apple", 10).collect())
+    assert s_handle == s_fresh

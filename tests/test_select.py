@@ -254,3 +254,44 @@ def test_scorer_parameter(spark, tmp_path):
 
     with _pt.raises(ValueError):
         select(docs, scorer="n_chars + 1")
+
+
+def test_scorer_runs_after_filter(spark, tmp_path):
+    """grn_select evaluation order: scorer applies to the POST-selection
+    match set — a filter referencing _score sees the ORIGINAL match
+    score, not the reassigned one."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.select import select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx_sc_order")
+    build_index(spark, docs, path, mode="delimit", segment_size=500)
+    idx = FulltextIndex(spark, path)
+
+    n_matches = idx.match_docs("spark").count()
+    assert n_matches > 0
+    # every BM25 match score is > 0; scorer zeroes them AFTER the filter —
+    # if scorer ran first, the filter would select nothing
+    with select(docs, index=idx, query="spark",
+                filter="_score > 0", scorer="_score = 0",
+                limit=-1, output_columns=["doc_id", "_score"],
+                need_hit_count=False) as res:
+        rows = res.hits.collect()
+    assert len(rows) == n_matches
+    assert all(r["_score"] == 0.0 for r in rows)
+
+
+def test_match_columns_needs_multifield(spark, tmp_path):
+    """match_columns= with a single-field index raises a clear error
+    instead of an uncaught TypeError."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.select import select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx_mc_err")
+    build_index(spark, docs, path, mode="delimit", segment_size=500)
+    idx = FulltextIndex(spark, path)
+    with pytest.raises(ValueError, match="match_columns"):
+        select(docs, index=idx, query="spark", match_columns="title||body")
