@@ -821,6 +821,47 @@ def q_prefix_rk(spark, sf):
     return _rk_index(spark, sf).prefix_rk_match_docs("ni").select("doc_id")
 
 
+# -- hot prefix as a dense term_id range ------------------------------------
+
+_HOT_CACHE: dict[str, object] = {}
+
+
+def _hot_index(spark: SparkSession, sf_dir: str):
+    """Index over a derived corpus where every doc carries a UNIQUE
+    zero-padded term t{doc_id:06d} (plus a 3-way anchor term) — so a
+    short prefix matches one lexicon term per doc and the prefix query
+    MUST plan as a TermRange (term_id BETWEEN), never an enumerated OR."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    key = os.path.abspath(sf_dir)
+    if key in _HOT_CACHE:
+        return _HOT_CACHE[key]
+    ids = [r["doc_id"] for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+    rows = [(d, f"t{d:06d} anchor{d % 3}") for d in sorted(ids)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gs_hot_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    build_index(spark, docs, path, mode="delimit")
+    idx = FulltextIndex(spark, path)
+    _HOT_CACHE[key] = idx
+    return idx
+
+
+def q_ft_prefix_hot(spark, sf):
+    """`t0000* -anchor1`: a prefix matching ONE lexicon term per doc,
+    planned as a contiguous dense-term_id range (two ints on the driver,
+    BETWEEN pushed to the postings scan) composed with AND-NOT."""
+    return (_hot_index(spark, sf).match_docs("t0000* -anchor1")
+            .select("doc_id"))
+
+
 # -- weighted multi-field match (match_columns / BM25F) ---------------------
 
 _MF_CACHE: dict[str, object] = {}
@@ -945,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_funcs": q_geo_funcs,
         "fuzzy_search": q_fuzzy_search,
         "prefix_rk": q_prefix_rk,
+        "ft_prefix_hot": q_ft_prefix_hot,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1258,6 +1300,12 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": f"""
             SELECT DISTINCT doc_id FROM ({_TOKS})
             WHERE levenshtein(term, 'sparc') <= 1""",
+        # hot-prefix corpus derived from doc ids: unique term per doc +
+        # 3-way anchor; prefix t0000* AND NOT anchor1
+        "ft_prefix_hot": """
+            SELECT doc_id FROM documents
+            WHERE 't' || lpad(doc_id::VARCHAR, 6, '0') LIKE 't0000%'
+              AND 'anchor' || (doc_id % 3)::VARCHAR <> 'anchor1'""",
         # same katakana corpus derived from doc ids; romaji 'ni' → ニ
         "prefix_rk": """
             WITH k AS (SELECT doc_id,

@@ -64,60 +64,104 @@ def edit_distance(a, b) -> Column:
 # --------------------------------------------------------------------------
 
 
+def _regex_repl_escape(s: str) -> str:
+    """Escape a literal string for use inside an re.sub REPLACEMENT."""
+    return s.replace("\\", "\\\\")
+
+
 def snippet_udf(keywords: list[str], width: int = 100, max_n: int = 3,
                 open_tag: str = "", close_tag: str = ""):
     """KWIC extraction: up to max_n windows of ``width`` chars around
-    keyword hits (case-insensitive on normalized text)."""
+    keyword hits (case-insensitive on normalized text).
+
+    Vectorized: per WINDOW (max_n, small) × per KEYWORD, `.str.find`
+    locates the next admissible hit and `.str.replace` wraps tags across
+    the whole Arrow batch — the regex work is never per-row Python; the
+    only per-row ops left are plain C-speed string slices. Equivalent to
+    the sequential spec: repeatedly take the leftmost keyword hit whose
+    window start lies past the previous window's end."""
     from pyspark.sql import types as T
 
     pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
+    kws = [k.lower() for k in keywords]
+    wrap_repl = (
+        f"{_regex_repl_escape(open_tag)}\\g<0>{_regex_repl_escape(close_tag)}"
+        if (open_tag or close_tag) else None
+    )
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _snip(s: pd.Series) -> pd.Series:
-        def one(text):
-            if text is None:
-                return []
-            out = []
-            last_end = -1
-            for m in pat.finditer(text):
-                if len(out) >= max_n:
-                    break
-                lo = max(0, m.start() - width // 2)
-                hi = min(len(text), lo + width)
-                if lo <= last_end:
-                    continue
-                frag = text[lo:hi]
-                if open_tag or close_tag:
-                    frag = pat.sub(lambda mm: f"{open_tag}{mm.group(0)}{close_tag}", frag)
-                out.append(frag)
-                last_end = hi
-            return out
+        import numpy as np
 
-        return s.map(one)
+        text = s.fillna("")
+        lower = text.str.lower()
+        n = text.str.len().to_numpy(np.int64)
+        # last_end < 0 ⇒ first window admits any hit (lo = max(0, ·) ≥ 0)
+        last_end = np.full(len(s), -1, np.int64)
+        frag_cols: list[pd.Series] = []
+        for _w in range(max_n):
+            # next admissible hit: leftmost keyword occurrence at
+            # position ≥ p0, where lo = max(0, pos − width/2) > last_end
+            p0 = np.where(last_end < 0, 0, last_end + width // 2 + 1)
+            tail = pd.Series(
+                [t[p:] for t, p in zip(lower.tolist(), p0.tolist())]
+            )
+            pos = np.full(len(s), -1, np.int64)
+            for k in kws:
+                f = tail.str.find(k).to_numpy(np.int64)
+                hit = f >= 0
+                pos = np.where(
+                    hit & ((pos < 0) | (f < pos)), f, pos
+                )
+            hit = pos >= 0
+            start = p0 + pos
+            lo = np.maximum(0, start - width // 2)
+            hi = np.minimum(n, lo + width)
+            frag = pd.Series(
+                [
+                    t[int(a):int(b)] if h else None
+                    for t, a, b, h in zip(
+                        text.tolist(), lo.tolist(), hi.tolist(),
+                        hit.tolist(),
+                    )
+                ]
+            )
+            if wrap_repl is not None:
+                frag = frag.str.replace(pat, wrap_repl, regex=True)
+            frag_cols.append(frag)
+            last_end = np.where(hit, hi, np.iinfo(np.int64).max - width)
+        out = [
+            [f for f in frags if f is not None]
+            for frags in zip(*(c.tolist() for c in frag_cols))
+        ]
+        # nulls in, empty snippet lists out (the sequential spec)
+        return pd.Series(out, index=s.index)
 
     return _snip
 
 
 def highlight_html_udf(keywords: list[str]):
     """Wrap keyword hits in <span class="keyword">…</span> after HTML-
-    escaping, like [G: lib/proc/proc_highlight.c · highlight_html]."""
-    import html as _html
+    escaping, like [G: lib/proc/proc_highlight.c · highlight_html].
 
+    Fully vectorized pandas `.str` chain: three literal replaces for the
+    escape (&, <, > — html.escape(quote=False) semantics) then ONE regex
+    replace with a string template — no per-row Python, no per-match
+    lambdas."""
     from pyspark.sql import types as T
 
     pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
 
     @F.pandas_udf(T.StringType())
     def _hl(s: pd.Series) -> pd.Series:
-        def one(text):
-            if text is None:
-                return None
-            esc = _html.escape(text, quote=False)
-            return pat.sub(
-                lambda m: f'<span class="keyword">{m.group(0)}</span>', esc
-            )
-
-        return s.map(one)
+        esc = (
+            s.str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+        )
+        return esc.str.replace(
+            pat, r'<span class="keyword">\g<0></span>', regex=True
+        )
 
     return _hl
 

@@ -181,6 +181,113 @@ class MultiFieldIndex:
             return [(f, 1.0) for f in self.manifest["fields"]]
         return parse_match_columns(match_columns)
 
+    #: synthetic tid namespace: member key = (field_idx + 1) << _FIELD_SHIFT
+    #: | field-local term_id (term_ids are dense ranks, far below 2^40)
+    _FIELD_SHIFT = 40
+
+    def _pruned_topk(self, ast, cols: list[tuple[str, float]], k: int):
+        """BM25F top-k through the interval pruner — ONE kernel call over
+        members drawn from every field's postings, each member carrying
+        its field's stats/weight, instead of scoring every hit of every
+        field and sorting (the round-2 shape). Group model: one or-kind
+        group per query leaf, members = (field, token) in match_columns
+        order with weight w_f — upper bounds Σ w_f·bound_f per interval,
+        so a head-term query stops after the top-k stabilizes exactly
+        like the single-field path. Bit-identical to the exhaustive
+        DataFrame algebra (member adds in cols order == the combine('or')
+        chain; group adds in child order == the combine('and') chain).
+
+        Returns (doc_ids, scores) or None when the shape isn't eligible
+        (multi-token leaves, Prefix/Near/Similar, nested OR/AND mixes,
+        posting volume above the driver-local cap) — callers fall back
+        to the exhaustive evaluator."""
+        import numpy as np
+
+        from groonga_spark.normalize import normalize_str
+        from groonga_spark.tokenize import tokenize_str
+        from groonga_spark.wand import SegmentQueryKernel, TermPostings
+
+        if isinstance(ast, Term):
+            pos, neg, mode = [ast], [], "and"
+        elif isinstance(ast, And):
+            pos = [c for c in ast.children if not isinstance(c, Not)]
+            neg = [c.child for c in ast.children if isinstance(c, Not)]
+            if not pos or not all(isinstance(c, Term) for c in pos + neg):
+                return None
+            mode = "and"
+        elif isinstance(ast, Or):
+            pos, neg, mode = list(ast.children), [], "or"
+            if not pos or not all(isinstance(c, Term) for c in pos):
+                return None
+        else:
+            return None
+
+        tok_mode = self.manifest["mode"]
+        texts = []
+        for c in pos + neg:
+            toks = [t for t, _ in
+                    tokenize_str(normalize_str(c.text), tok_mode)]
+            if len(toks) != 1:
+                return None  # multi-token leaf (ngram/phrase) → exhaustive
+            texts.append(toks[0])
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        shift = 1 << self._FIELD_SHIFT
+        by_tid: dict[int, TermPostings] = {}
+        mapped: list[dict[str, int]] = []
+        for fi, (name, _w) in enumerate(cols):
+            fidx = self.field(name)
+            fidx._check_generation()
+            rows = fidx._lexicon_lookup(sorted(set(texts)))
+            tid_map = {t: (tid, df) for t, tid, df in rows}
+            tids = sorted({tid for tid, _ in tid_map.values()})
+            if not tids:
+                mapped.append({})
+                continue
+            plan_f = {
+                "df_by_tid": {tid: df for tid, df in tid_map.values()},
+                "tid_ranges": [],
+                "ranges_sum_df": 0.0,
+            }
+            pdf = fidx._local_blocks(tids, plan_f)
+            if pdf is None:
+                return None  # volume warrants the cluster → exhaustive
+            stats_f = fidx._stats()
+            tomb = fidx.tombstones()
+            for tid, g in pdf.groupby("term_id"):
+                by_tid[(fi + 1) * shift + int(tid)] = TermPostings(
+                    g, plan_f["df_by_tid"][int(tid)], tomb, stats_f
+                )
+            mapped.append(
+                {t: (fi + 1) * shift + tid for t, (tid, _d) in tid_map.items()}
+            )
+
+        groups = []
+        for tok in texts[: len(pos)]:
+            members = []
+            for fi, (_name, w) in enumerate(cols):
+                mt = mapped[fi].get(tok)
+                if mt is not None and mt in by_tid:
+                    members.append((mt, float(w)))
+            if members:
+                groups.append({"kind": "or", "members": members,
+                               "post": None})
+            elif mode == "and":
+                return empty  # an AND leaf matches no field
+        if not groups:
+            return empty
+        neg_tids = []
+        for tok in texts[len(pos):]:
+            for fi in range(len(cols)):
+                mt = mapped[fi].get(tok)
+                if mt is not None and mt in by_tid:
+                    neg_tids.append(mt)
+
+        kern = SegmentQueryKernel.from_term_postings(
+            by_tid, self.field(cols[0][0])._stats(), k
+        )
+        return kern._topk_interval_pruned(groups, mode, None, neg_tids)
+
     def match_docs(self, query: str,
                    match_columns: str | None = None) -> DataFrame:
         """(doc_id, score) of every match under the column spec."""
@@ -188,7 +295,20 @@ class MultiFieldIndex:
 
     def search(self, query: str, match_columns: str | None = None,
                k: int = 10) -> DataFrame:
-        """BM25F top-k → (doc_id, score), (score desc, doc_id asc)."""
+        """BM25F top-k → (doc_id, score), (score desc, doc_id asc).
+
+        Eligible shapes run the interval-pruned kernel (driver-local, one
+        call, block-max pruning with per-field bounds); the rest fall
+        back to the exhaustive leaf-level algebra + global sort."""
+        got = self._pruned_topk(parse_query(query),
+                                self._cols(match_columns), k)
+        if got is not None:
+            import pandas as pd
+
+            out = pd.DataFrame({"doc_id": got[0], "score": got[1]})
+            return self.spark.createDataFrame(
+                out, "doc_id long, score double"
+            )
         return (
             self.match_docs(query, match_columns)
             .orderBy(F.desc("score"), F.asc("doc_id"))

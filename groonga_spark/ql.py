@@ -37,6 +37,26 @@ class Prefix:
 
 
 @dataclass
+class TermRange:
+    """A CONTIGUOUS dense-term_id range — the plan-time form of a hot
+    prefix. Dense ids are assigned in term-sorted order (build.py
+    assign_dense_ids), so every lexicon term with a given prefix occupies
+    exactly [lo_tid, hi_tid]; semantics ≡ Or([Term(t) for t in range])
+    (scores ADD per doc in ascending-term_id order) WITHOUT materializing
+    a leaf per term on the driver. Produced by FulltextIndex._expand_ast
+    when a Prefix matches more than PREFIX_ENUM_MAX terms; the postings
+    scan prunes with ``term_id BETWEEN lo AND hi`` instead of a giant IN
+    list, and per-term df comes off the posting block rows (stored at
+    finalize), so the driver never holds the member terms."""
+
+    prefix: str
+    lo_tid: int
+    hi_tid: int
+    n_terms: int = 0
+    sum_df: float = 0.0  # Σ df over the range (posting-volume estimate)
+
+
+@dataclass
 class Near:
     """Near search (QL ``*N"a b"`` / ``*N5"a b"``) — all words present
     with position span ≤ max_interval [G: grn_expr GRN_OP_NEAR;
@@ -192,11 +212,24 @@ def query_terms(node) -> list[str]:
         return []
     if isinstance(node, (Term, Phrase, Near, Similar)):
         return [node.text]
-    if isinstance(node, Prefix):
-        return []  # expanded separately (lexicon range scan)
+    if isinstance(node, (Prefix, TermRange)):
+        return []  # resolved by lexicon range scan, not term lookup
     if isinstance(node, Not):
         return query_terms(node.child)
     return [t for c in node.children for t in query_terms(c)]
+
+
+def collect_ranges(node) -> list[TermRange]:
+    """All TermRange nodes in the tree (postings range pruning)."""
+    if node is None:
+        return []
+    if isinstance(node, TermRange):
+        return [node]
+    if isinstance(node, (Term, Phrase, Near, Similar, Prefix)):
+        return []
+    if isinstance(node, Not):
+        return collect_ranges(node.child)
+    return [r for c in node.children for r in collect_ranges(c)]
 
 
 def rewrite(node, fn):
@@ -206,8 +239,8 @@ def rewrite(node, fn):
         return None
     if isinstance(node, (Term, Phrase, Prefix)):
         return fn(node)
-    if isinstance(node, (Near, Similar)):
-        return node  # positional/similarity leaves pass through unrewritten
+    if isinstance(node, (Near, Similar, TermRange)):
+        return node  # positional/similarity/range leaves pass through
     if isinstance(node, Not):
         child = rewrite(node.child, fn)
         return Not(child) if child is not None else None

@@ -159,6 +159,38 @@ class FulltextIndex:
             terms = terms[:limit]
         return terms
 
+    def _prefix_tid_range(self, prefix: str) -> tuple[int, int, int, float] | None:
+        """(lo_tid, hi_tid, n_terms, sum_df) of every lexicon term with
+        ``prefix`` — one pruned parquet scan reading only term_id/df.
+        Dense ids are term-sorted (build.assign_dense_ids), so the match
+        set is exactly the CONTIGUOUS id range [lo, hi]; None when no term
+        matches. At 10^8+ terms the prod path aggregates min/max/sum on
+        the lexicon Iceberg table instead of fetching the column — the
+        contract (two ints + a count) is the same."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        f = ds.field("term") >= prefix
+        p = prefix
+        while p and ord(p[-1]) >= 0x10FFFF:
+            p = p[:-1]
+        if p:
+            f = f & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
+        else:
+            return None  # degenerate all-U+10FFFF prefix: enumerate instead
+        dset = ds.dataset(self.store.p("lexicon"), format="parquet")
+        tbl = dset.to_table(columns=["term_id", "df"], filter=f)
+        n = tbl.num_rows
+        if n == 0:
+            return None
+        tid = tbl.column("term_id")
+        lo = pc.min(tid).as_py()
+        hi = pc.max(tid).as_py()
+        # dense ids are rank-of-term → a prefix range MUST be contiguous;
+        # anything else means lexicon corruption, not a soft fallback
+        assert hi - lo + 1 == n, (prefix, lo, hi, n)
+        return int(lo), int(hi), int(n), float(pc.sum(tbl.column("df")).as_py())
+
     def fuzzy_terms(self, term: str, max_distance: int = 1,
                     prefix_length: int = 0,
                     max_expansions: int = 64) -> list[str]:
@@ -253,18 +285,32 @@ class FulltextIndex:
         return self.match_ast(ast)
 
     def _expand_ast(self, ast, expansions: dict | None = None):
-        """Plan-time AST rewrites: QL prefix leaves (``word*``) become an
-        OR over matching lexicon terms; ``expansions`` (query_expand
-        [G: lib/expr.c · grn_expr_syntax_expand_query]) maps a term to
-        synonym alternatives OR-ed with it."""
-        from groonga_spark.ql import Or, Prefix, Term, rewrite
+        """Plan-time AST rewrites: a QL prefix leaf (``word*``) becomes a
+        TermRange over the CONTIGUOUS dense-id span of matching lexicon
+        terms — the PAT-trie predictive cursor [G: lib/pat.c ·
+        GRN_CURSOR_PREFIX → grn_ii_select EX_PREFIX ORs the matching
+        tokens' posting lists]. The driver holds (lo, hi, n), never a
+        leaf per term, so a hot prefix on a 10^8-term lexicon plans in
+        O(1); matched lexicon terms hit via their OWN posting lists (no
+        query-side re-tokenization — on ngram indexes this is the
+        reference's semantics, not a phrase over the term's ngrams).
+        ``expansions`` (query_expand [G: lib/expr.c ·
+        grn_expr_syntax_expand_query]) maps a term to synonym
+        alternatives OR-ed with it."""
+        from groonga_spark.ql import Or, Prefix, Term, TermRange, rewrite
 
         if ast is None:
             return None
 
         def fn(leaf):
             if isinstance(leaf, Prefix):
-                terms = self._prefix_terms(normalize_str(leaf.text).lower())
+                pfx = normalize_str(leaf.text).lower()
+                rng = self._prefix_tid_range(pfx)
+                if rng is not None:
+                    return TermRange(pfx, rng[0], rng[1], rng[2], rng[3])
+                # no matching term (or degenerate prefix): enumerate —
+                # usually empty → the impossible term
+                terms = self._prefix_terms(pfx)
                 if not terms:
                     return Term("\x00<no-match>")  # impossible term → ∅
                 if len(terms) == 1:
@@ -280,7 +326,12 @@ class FulltextIndex:
 
     def _plan(self, ast) -> dict:
         """Driver-side planning: tokenize query texts with the INDEX's own
-        tokenizer, look the tokens up in the lexicon (one pruned scan)."""
+        tokenizer, look the tokens up in the lexicon (one pruned scan).
+        TermRange leaves contribute only their (lo, hi) spans — the plan
+        stays O(query terms) however many lexicon terms a range covers
+        (per-term df rides the posting blocks, attached at finalize)."""
+        from groonga_spark.ql import collect_ranges
+
         mode = self.meta["tokenizer_mode"]
         texts = sorted(set(query_terms(ast)))
         tokens_by_text: dict[str, list] = {}
@@ -292,6 +343,7 @@ class FulltextIndex:
         rows = self._lexicon_lookup(sorted(all_tokens))
         tid = {term: t_id for term, t_id, _ in rows}
         df_by_tid = {t_id: df for _, t_id, df in rows}
+        ranges = collect_ranges(ast)
         return {
             "tokens_by_text": {
                 t: [tid.get(tok) for tok in toks]
@@ -299,6 +351,8 @@ class FulltextIndex:
             },
             "df_by_tid": df_by_tid,
             "needed_tids": sorted(set(tid.values())),
+            "tid_ranges": sorted({(r.lo_tid, r.hi_tid) for r in ranges}),
+            "ranges_sum_df": float(sum(r.sum_df for r in ranges)),
             "tombstones": self.tombstones(),
         }
 
@@ -356,21 +410,44 @@ class FulltextIndex:
     def _local_blocks(self, tids: list[int], plan: dict,
                       force: bool = False):
         """term_id-pruned pyarrow scan of postings for the driver-local
-        path, or None when the estimated volume warrants the cluster."""
+        path, or None when the estimated volume warrants the cluster.
+        TermRange spans prune as BETWEEN predicates (postings files are
+        term_id-sorted → row-group range pruning), never as IN lists."""
         meta = self.meta
         bpp = (
             meta["bytes_compressed"] / meta["postings_total"]
             if meta.get("postings_total")
             else 8.0
         )
-        est = sum(plan["df_by_tid"].get(t, 0.0) for t in tids) * bpp * 2.0
+        ranges = plan.get("tid_ranges") or []
+        est = (
+            sum(plan["df_by_tid"].get(t, 0.0) for t in tids)
+            + plan.get("ranges_sum_df", 0.0)
+        ) * bpp * 2.0
         if est > self.DRIVER_QUERY_MAX_BYTES and not force:
             return None
         import pyarrow.dataset as ds
 
+        f = ds.field("term_id").isin(list(tids)) if tids else None
+        for lo, hi in ranges:
+            rf = (ds.field("term_id") >= lo) & (ds.field("term_id") <= hi)
+            f = rf if f is None else (f | rf)
         dset = ds.dataset(self.store.p("postings"), format="parquet")
-        tbl = dset.to_table(filter=ds.field("term_id").isin(list(tids)))
+        tbl = dset.to_table(filter=f)
         return tbl.to_pandas()
+
+    def _postings_pred(self, plan: dict):
+        """Catalyst predicate selecting the plan's postings: IN over the
+        looked-up tids + BETWEEN per TermRange span — both push down to
+        the parquet scan (term_id-sorted files → row-group pruning; the
+        Iceberg deployment prunes bucket(term_id) partitions the same
+        way)."""
+        tids = plan["needed_tids"]
+        cond = F.col("term_id").isin([int(t) for t in tids]) if tids else None
+        for lo, hi in plan.get("tid_ranges") or []:
+            rc = F.col("term_id").between(int(lo), int(hi))
+            cond = rc if cond is None else (cond | rc)
+        return cond if cond is not None else F.lit(False)
 
     def _run_local(self, pdf: pd.DataFrame, ast, plan: dict, stats: dict,
                    k: int, topk: bool):
@@ -442,7 +519,7 @@ class FulltextIndex:
         spark = self.spark
         empty_schema = "doc_id long, score double"
         tids = plan["needed_tids"]
-        if ast is None or not tids:
+        if ast is None or not (tids or plan["tid_ranges"]):
             return spark.createDataFrame([], empty_schema)
 
         if distributed is not True:
@@ -469,7 +546,7 @@ class FulltextIndex:
         # shards are doc-disjoint → the kernel is correct per (segment,
         # shard); parallelism = live shards, not segments
         blocks = self.postings.filter(
-            F.col("term_id").isin([int(t) for t in tids])
+            self._postings_pred(plan)
         ).withColumn("shard", F.shiftright("block_id", 24))
         per_shard = blocks.groupBy("segment", "shard").applyInPandas(
             _run, schema=empty_schema
@@ -490,7 +567,7 @@ class FulltextIndex:
         self._check_generation()
         plan = self._plan(ast)
         spark = self.spark
-        if ast is None or not plan["needed_tids"]:
+        if ast is None or not (plan["needed_tids"] or plan["tid_ranges"]):
             return spark.createDataFrame([], "doc_id long, score double")
         if distributed is not True:
             pdf = self._local_blocks(
@@ -509,7 +586,7 @@ class FulltextIndex:
             return pd.DataFrame({"doc_id": doc, "score": score})
 
         blocks = self.postings.filter(
-            F.col("term_id").isin([int(t) for t in plan["needed_tids"]])
+            self._postings_pred(plan)
         ).withColumn("shard", F.shiftright("block_id", 24))
         return blocks.groupBy("segment", "shard").applyInPandas(
             _run, schema="doc_id long, score double"

@@ -36,16 +36,32 @@ import numpy as np
 import pandas as pd
 
 from groonga_spark.codec import _segmented_cumsum, vb_decode
-from groonga_spark.ql import And, Near, Not, Or, Phrase, Similar, Term
+from groonga_spark.ql import (
+    And,
+    Near,
+    Not,
+    Or,
+    Phrase,
+    Similar,
+    Term,
+    TermRange,
+)
 from groonga_spark.score import bm25
 
 
 class TermPostings:
-    """Decoded postings of one term within one segment."""
+    """Decoded postings of one term within one segment.
 
-    __slots__ = ("doc", "tf", "dl", "blocks", "decoded_mask", "df", "tomb")
+    ``stats`` (optional) overrides the kernel-level corpus stats for THIS
+    term — the BM25F multi-field path sets it to the owning FIELD's
+    (n_docs, avgdl, k1, b), so one kernel evaluates members from several
+    per-field indexes with each member scored against its own corpus."""
 
-    def __init__(self, blocks: pd.DataFrame, df: float, tomb=None):
+    __slots__ = ("doc", "tf", "dl", "blocks", "decoded_mask", "df", "tomb",
+                 "stats")
+
+    def __init__(self, blocks: pd.DataFrame, df: float, tomb=None,
+                 stats: dict | None = None):
         # sorted by (segment, block_id) == global doc order: segments own
         # disjoint doc ranges, shards within a segment are contiguous, and
         # block_id = shard<<24 | seq — so one TermPostings can span the
@@ -55,6 +71,7 @@ class TermPostings:
         )
         self.df = df
         self.tomb = tomb if tomb is not None and len(tomb) else None
+        self.stats = stats
         self.doc = None
         self.tf = None
         self.dl = None
@@ -125,9 +142,11 @@ class TermPostings:
     def block_bounds(self, stats: dict) -> np.ndarray:
         """Block-max WAND upper bounds from stored (max_tf, min_dl) + df —
         computed at query time so they survive incremental stat drift;
-        ×(1+1e-9) keeps them strict upper bounds under float rounding."""
+        ×(1+1e-9) keeps them strict upper bounds under float rounding.
+        Per-term stats (BM25F fields) take precedence."""
         import math
 
+        stats = self.stats or stats
         max_tf = self.blocks["max_tf"].to_numpy(np.float64)
         min_dl = self.blocks["min_dl"].to_numpy(np.float64)
         k1, b = stats["k1"], stats["b"]
@@ -175,6 +194,7 @@ class TermPostings:
 
 
 def _score_arrays(tp: TermPostings, stats: dict) -> np.ndarray:
+    stats = tp.stats or stats
     return bm25(
         tp.tf, tp.dl, tp.df, stats["n_docs"], stats["avgdl"], stats["k1"], stats["b"]
     )
@@ -202,8 +222,27 @@ class SegmentQueryKernel:
         self.by_tid: dict[int, TermPostings] = {}
         tomb = plan.get("tombstones")
         for tid, g in blocks.groupby("term_id"):
-            df = plan["df_by_tid"][int(tid)]
+            df = plan["df_by_tid"].get(int(tid))
+            if df is None:
+                # TermRange member: the driver never looked this term up —
+                # its df rides the block rows (attached at finalize)
+                df = float(g["df"].iloc[0])
             self.by_tid[int(tid)] = TermPostings(g, df, tomb)
+
+    @classmethod
+    def from_term_postings(cls, by_tid: dict[int, TermPostings],
+                           stats: dict, k: int) -> "SegmentQueryKernel":
+        """Kernel over pre-built TermPostings — the BM25F multi-field
+        composer enters here with members drawn from SEVERAL per-field
+        indexes (synthetic tid namespace, per-member stats/tombstones on
+        each TermPostings), then drives _topk_interval_pruned directly
+        with its own group model."""
+        self = cls.__new__(cls)
+        self.plan = {"tokens_by_text": {}, "df_by_tid": {}}
+        self.stats = stats
+        self.k = k
+        self.by_tid = dict(by_tid)
+        return self
 
     def _leaf_tokens(self, text: str) -> list[int] | None:
         """term text → its token term_ids (None if any token unknown)."""
@@ -254,6 +293,8 @@ class SegmentQueryKernel:
                 ms[np.searchsorted(merged, d)] += s
                 doc, score = merged, ms
             return doc, score
+        if isinstance(node, TermRange):
+            return self._eval_range(node.lo_tid, node.hi_tid)
         if isinstance(node, And):
             return self._eval_and(node.children)
         if isinstance(node, Or):
@@ -262,6 +303,27 @@ class SegmentQueryKernel:
             # bare NOT yields nothing (matches reference: NOT needs a left set)
             return empty
         raise TypeError(type(node))
+
+    def _eval_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """TermRange ≡ OR over every term_id in [lo, hi] present here,
+        scores ADDING per doc in ascending-term_id order — bit-identical
+        to the enumerated Or([Term…]) path (np.add.at accumulates in
+        concatenation order == the sequential union-merge order, and
+        0 + x == x exactly), without per-term Python beyond the decode."""
+        tids = sorted(t for t in self.by_tid if lo <= t <= hi)
+        d_parts, s_parts = [], []
+        for t in tids:
+            d, s = self._eval_single(t)
+            if len(d):
+                d_parts.append(d)
+                s_parts.append(s)
+        if not d_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs_all = np.concatenate(d_parts)
+        uniq, inv = np.unique(docs_all, return_inverse=True)
+        agg = np.zeros(len(uniq), np.float64)
+        np.add.at(agg, inv, np.concatenate(s_parts))
+        return uniq, agg
 
     # --- leaves ------------------------------------------------------------
 
@@ -485,13 +547,14 @@ class SegmentQueryKernel:
         CHUNK = 64
         doc = np.empty(0, np.int64)
         score = np.empty(0, np.float64)
+        st = tp.stats or self.stats
         for i in range(0, len(order), CHUNK):
             if len(doc) >= self.k and score[-1] > ub[order[i]]:
                 break  # kth best beats every remaining bound
             idx = order[i : i + CHUNK]
             d, tf, dl = tp.decode_idx(idx)
-            s = bm25(tf, dl, tp.df, self.stats["n_docs"], self.stats["avgdl"],
-                     self.stats["k1"], self.stats["b"])
+            s = bm25(tf, dl, tp.df, st["n_docs"], st["avgdl"],
+                     st["k1"], st["b"])
             doc = np.concatenate([doc, d])
             score = np.concatenate([score, s])
             if len(doc) >= self.k:
@@ -601,10 +664,10 @@ class SegmentQueryKernel:
             if not new:
                 return
             splits = tps[t].decode_idx_split(np.asarray(new, np.int64))
+            st = tps[t].stats or self.stats
             for b, (d, tf, dl) in zip(new, splits):
-                s = bm25(tf, dl, tps[t].df, self.stats["n_docs"],
-                         self.stats["avgdl"], self.stats["k1"],
-                         self.stats["b"])
+                s = bm25(tf, dl, tps[t].df, st["n_docs"],
+                         st["avgdl"], st["k1"], st["b"])
                 iid = np.searchsorted(bounds, d, side="right") - 1
                 decoded[(t, b)] = (d, s, iid)
 
@@ -771,11 +834,130 @@ class SegmentQueryKernel:
                 run_doc, run_score = _topk(run_doc, run_score, k)
         return _topk(run_doc, run_score, k)
 
+    def _topk_range_pruned(self, lo: int, hi: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """Interval-pruned top-k for a ROOT TermRange (hot prefix).
+
+        Unlike _topk_interval_pruned, all member terms' blocks are POOLED:
+        interval bounds come from every block edge, each interval's upper
+        bound is Σ covering-block bounds computed in ONE diff/cumsum pass
+        over the pooled block arrays, and the working structures are
+        O(total blocks) — no per-member arrays, so a prefix covering 10⁶
+        lexicon terms costs the same machinery as one fat term. Decoding
+        is chunk-driven and memoized; per-doc score addition happens in
+        ascending-term_id block order (a doc sits in ≤1 block per term),
+        reproducing _eval_range's float sequence exactly — bit-identical
+        to the exhaustive path, ties and all."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        tids = sorted(t for t in self.by_tid if lo <= t <= hi)
+        if not tids:
+            return empty
+        tps = [self.by_tid[t] for t in tids]
+        counts = [len(tp.blocks) for tp in tps]
+        own = np.repeat(np.arange(len(tps)), counts)
+        loc = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+        blo = np.concatenate(
+            [tp.blocks["min_doc_id"].to_numpy(np.int64) for tp in tps]
+        )
+        bhi = np.concatenate(
+            [tp.blocks["max_doc_id"].to_numpy(np.int64) for tp in tps]
+        )
+        ub = np.concatenate([tp.block_bounds(self.stats) for tp in tps])
+        bounds = np.unique(np.concatenate([blo, bhi + 1]))
+        n_int = len(bounds) - 1
+        if n_int <= 0:
+            return empty
+        s_idx = np.searchsorted(bounds, blo)
+        e_idx = np.searchsorted(bounds, bhi + 1)
+        diff = np.zeros(n_int + 1, np.float64)
+        np.add.at(diff, s_idx, ub)
+        np.add.at(diff, e_idx, -ub)
+        total_ub = np.cumsum(diff[:n_int])
+        order = np.argsort(-total_ub, kind="stable")
+        order = order[total_ub[order] > 0.0]
+        if len(order) == 0:
+            return empty
+
+        decoded: dict[int, tuple] = {}  # pooled block idx → (d, s, iid)
+        k = self.k
+        run_doc = np.empty(0, np.int64)
+        run_score = np.empty(0, np.float64)
+        in_chunk = np.zeros(n_int, bool)
+        CHUNK = 32
+        i = 0
+        while i < len(order):
+            if len(run_doc) >= k and run_score[-1] > total_ub[order[i]]:
+                break  # kth best strictly beats every remaining interval
+            chunk = order[i : i + CHUNK]
+            i += CHUNK
+            chunk_sorted = np.sort(chunk)
+            # pooled blocks covering ANY chunk interval (searchsorted
+            # against the 32 sorted interval ids — no interval→block map)
+            pos = np.searchsorted(chunk_sorted, s_idx, side="left")
+            hit = (pos < len(chunk_sorted)) & (
+                chunk_sorted[np.minimum(pos, len(chunk_sorted) - 1)] < e_idx
+            )
+            need = np.flatnonzero(hit)  # ascending == (term_id, block) order
+            new = np.asarray(
+                [b for b in need.tolist() if b not in decoded], np.int64
+            )
+            for ti in np.unique(own[new]).tolist():
+                rows = new[own[new] == ti]
+                splits = tps[ti].decode_idx_split(loc[rows])
+                st = tps[ti].stats or self.stats
+                for b, (d, tf, dl) in zip(rows.tolist(), splits):
+                    s = bm25(tf, dl, tps[ti].df, st["n_docs"],
+                             st["avgdl"], st["k1"], st["b"])
+                    iid = np.searchsorted(bounds, d, side="right") - 1
+                    decoded[b] = (d, s, iid)
+            in_chunk[:] = False
+            in_chunk[chunk] = True
+            d_parts, s_parts = [], []
+            for b in need.tolist():
+                d, s, iid = decoded[b]
+                m = in_chunk[iid]
+                if m.any():
+                    d_parts.append(d[m])
+                    s_parts.append(s[m])
+            if not d_parts:
+                continue
+            docs_all = np.concatenate(d_parts)
+            uniq, inv = np.unique(docs_all, return_inverse=True)
+            agg = np.zeros(len(uniq), np.float64)
+            np.add.at(agg, inv, np.concatenate(s_parts))
+            run_doc = np.concatenate([run_doc, uniq])
+            run_score = np.concatenate([run_score, agg])
+            if len(run_doc) >= k:
+                # keep (doc, score) sorted desc so score[-1] IS the kth
+                run_doc, run_score = _topk(run_doc, run_score, k)
+        return _topk(run_doc, run_score, k)
+
+    #: a TermRange inside a compound query enumerates its members (the
+    #: terms present in THIS kernel's blocks) for the generic interval
+    #: pruner, whose per-member interval arrays are O(members ×
+    #: intervals) — past this cap the query falls back to exhaustive
+    #: (root-level ranges use _topk_range_pruned, which pools blocks
+    #: and has no per-member arrays, so no cap applies there)
+    RANGE_GROUP_MAX = 256
+
+    def _range_members(self, lo: int, hi: int) -> list[int] | None:
+        """tids of this kernel's terms inside [lo, hi], ascending; None
+        when too many for the per-member interval machinery."""
+        tids = sorted(t for t in self.by_tid if lo <= t <= hi)
+        if len(tids) > self.RANGE_GROUP_MAX:
+            return None
+        return tids
+
     def _or_members(self, children) -> list[int] | None:
         """Or children → member tids in child order. None → shape not
         pruneable (fall back); empty list → no live member."""
         toks = []
         for c in children:
+            # NOTE a TermRange here may NOT be flattened into the member
+            # list: the exhaustive _eval_or adds each CHILD's pre-
+            # aggregated sum ((s_a)+(s_r1+s_r2)), while flat members add
+            # ((s_a+s_r1)+s_r2) — different float sequences. Ranges under
+            # an OR-under-AND take the exhaustive path.
             if not isinstance(c, (Term, Phrase)):
                 return None
             tids = self._leaf_tokens(c.text)
@@ -832,6 +1014,10 @@ class SegmentQueryKernel:
         if (sum(len(tp.blocks) for tp in self.by_tid.values())
                 < self.PRUNE_MIN_BLOCKS):
             return None  # tiny posting set: decode-all is cheaper
+        if isinstance(ast, TermRange):
+            # hot prefix at the root: pooled-block interval pruning — no
+            # per-member structures, so NO member cap applies
+            return self._topk_range_pruned(ast.lo_tid, ast.hi_tid)
         if isinstance(ast, (Phrase, Term, Near)):
             g = self._leaf_group(ast)
             if g == "empty":
@@ -844,6 +1030,17 @@ class SegmentQueryKernel:
         if isinstance(ast, Or):
             groups = []
             for c in ast.children:
+                if isinstance(c, TermRange):
+                    # one group per range CHILD (members aggregate inside
+                    # the group first — the exhaustive per-child order)
+                    mem = self._range_members(c.lo_tid, c.hi_tid)
+                    if mem is None:
+                        return None
+                    if mem:
+                        groups.append({"kind": "or",
+                                       "members": [(t, 1.0) for t in mem],
+                                       "post": None})
+                    continue
                 if not isinstance(c, (Term, Phrase, Near)):
                     return None
                 g = self._leaf_group(c)
@@ -872,7 +1069,7 @@ class SegmentQueryKernel:
                     if len(t) == 1:
                         fused_tids.append(t[0])
                         continue
-                fused = False
+                fused = False  # multi-token leaf / OR / TermRange child
                 break
             if fused:
                 # all-single-token AND: sorted-unique groups with dup
@@ -890,7 +1087,16 @@ class SegmentQueryKernel:
                 # in child order — the exhaustive non-fused order
                 groups = []
                 for c in pos:
-                    if isinstance(c, (Term, Phrase, Near)):
+                    if isinstance(c, TermRange):
+                        mem = self._range_members(c.lo_tid, c.hi_tid)
+                        if mem is None:
+                            return None
+                        if not mem:
+                            return empty  # range matches nothing here
+                        groups.append({"kind": "or",
+                                       "members": [(t, 1.0) for t in mem],
+                                       "post": None})
+                    elif isinstance(c, (Term, Phrase, Near)):
                         g = self._leaf_group(c)
                         if g == "empty":
                             return empty  # an AND child can't match

@@ -35,6 +35,8 @@ QUERIES = [
     ("q_or3", "spark OR stream OR vector"),
     ("q_not", "(table OR merge) -slow"),
     ("q_phrase", '"spark fast"'),
+    ("q_prefix", "s*"),          # TermRange root → pooled-block pruner
+    ("q_prefix_and", "s* table"),  # range as an AND child
 ]
 
 MARK_BEGIN = "<!-- bench_wand:begin -->"
@@ -46,6 +48,9 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=400)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--multifield", action="store_true",
+                    help="also bench the BM25F pruned top-k (builds a "
+                         "2-field index variant)")
     args = ap.parse_args()
 
     from bench_scaling import make_corpus
@@ -140,11 +145,115 @@ def main() -> None:
               file=sys.stderr)
 
     out = {"n_docs": n_docs, "k": args.k, "queries": results}
+    if args.multifield:
+        out["multifield"] = _bench_multifield(spark, corpus, args)
     with open(os.path.join(REPO, "BENCH_WAND.json"), "w") as f:
         json.dump(out, f, indent=1)
     _append_bench_md(out)
     print(json.dumps(out))
     spark.stop()
+
+
+def _bench_multifield(spark, corpus: str, args) -> dict:
+    """BM25F pruned top-k (one interval-pruner kernel call with per-field
+    stats) vs the exhaustive leaf-algebra DataFrame path (per-leaf×field
+    kernel runs + combine joins + global sort — the round-2 shape)."""
+    from pyspark.sql import functions as F
+
+    from groonga_spark.multifield import (
+        MultiFieldIndex,
+        build_multifield_index,
+    )
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import TermPostings
+
+    mf_path = os.path.join(tempfile.gettempdir(), f"gs_wand_mf_{args.mult}")
+    if not os.path.exists(os.path.join(mf_path, "multifield.json")):
+        import shutil
+
+        shutil.rmtree(mf_path, ignore_errors=True)
+        docs = spark.read.parquet(corpus)
+        two = docs.selectExpr(
+            "doc_id",
+            "concat_ws(' ', slice(split(text, ' '), 1, 3)) as title",
+            "concat_ws(' ', slice(split(text, ' '), 4, 1000000)) as body",
+        )
+        t0 = time.time()
+        build_multifield_index(spark, two, mf_path, ["title", "body"],
+                               mode="delimit")
+        print(f"built 2-field index in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    mf = MultiFieldIndex(spark, mf_path)
+
+    def spy_decodes(fn):
+        counts = {"blocks": 0}
+        orig = TermPostings.decode_idx
+        orig_split = TermPostings.decode_idx_split
+
+        def spy(self, idx_arr, _c=counts, _o=orig):
+            _c["blocks"] += len(idx_arr)
+            return _o(self, idx_arr)
+
+        def spy_split(self, idx_arr, _c=counts, _o=orig_split):
+            _c["blocks"] += len(idx_arr)
+            return _o(self, idx_arr)
+
+        TermPostings.decode_idx = spy
+        TermPostings.decode_idx_split = spy_split
+        try:
+            out = fn()
+        finally:
+            TermPostings.decode_idx = orig
+            TermPostings.decode_idx_split = orig_split
+        return out, counts["blocks"]
+
+    results = {}
+    shapes = [
+        ("mf_head", "table", "title*10||body"),
+        ("mf_and2", "spark merge", "title*10||body"),
+        ("mf_or", "spark OR stream", "title||body"),
+        ("mf_not", "table -slow", "title*10||body"),
+    ]
+    for name, q, mc in shapes:
+        cols = mf._cols(mc)
+        ast = parse_query(q)
+        pruned, blk_pruned = spy_decodes(
+            lambda: mf._pruned_topk(ast, cols, args.k)
+        )
+        assert pruned is not None, name
+
+        def exhaustive():
+            return (
+                mf.match_docs(q, match_columns=mc)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(args.k).collect()
+            )
+
+        exh, blk_exh = spy_decodes(exhaustive)
+        assert pruned[0].tolist() == [r["doc_id"] for r in exh], name
+        assert pruned[1].tolist() == [r["score"] for r in exh], name
+
+        t_pruned = min(
+            _time(lambda: mf._pruned_topk(ast, cols, args.k))
+            for _ in range(args.repeat)
+        )
+        t_exh = min(_time(exhaustive) for _ in range(args.repeat))
+        results[name] = {
+            "query": q,
+            "match_columns": mc,
+            "pruned_s": round(t_pruned, 4),
+            "exhaustive_s": round(t_exh, 4),
+            "speedup": round(t_exh / t_pruned, 2) if t_pruned else None,
+            "blocks_pruned_path": blk_pruned,
+            "blocks_exhaustive": blk_exh,
+            "blocks_skipped_pct": round(
+                100.0 * (1 - blk_pruned / blk_exh), 1
+            ) if blk_exh else 0.0,
+        }
+        print(f"{name}: pruned {t_pruned:.4f}s vs exhaustive {t_exh:.4f}s "
+              f"({results[name]['speedup']}x), blocks {blk_pruned}/{blk_exh}",
+              file=sys.stderr)
+    return results
 
 
 def _time(fn) -> float:
@@ -174,6 +283,30 @@ def _append_bench_md(out: dict) -> None:
             f" {r['blocks_pruned_path']}/{r['blocks_exhaustive']} |"
             f" {r['blocks_skipped_pct']}% |"
         )
+    if out.get("multifield"):
+        lines += [
+            "",
+            "### BM25F multi-field pruned top-k (same corpus, "
+            "title/body split)",
+            "",
+            "Pruned = one interval-pruner kernel call with per-field "
+            "stats/weights;",
+            "exhaustive = the leaf-algebra DataFrame path (kernel per "
+            "leaf×field +",
+            "combine joins + global sort). Results asserted bit-identical "
+            "first.",
+            "",
+            "| query | pruned s | exhaustive s | speedup | blocks decoded |"
+            " skipped |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, r in out["multifield"].items():
+            lines.append(
+                f"| {name} (`{r['query']}` @ `{r['match_columns']}`) |"
+                f" {r['pruned_s']} | {r['exhaustive_s']} | {r['speedup']}× |"
+                f" {r['blocks_pruned_path']}/{r['blocks_exhaustive']} |"
+                f" {r['blocks_skipped_pct']}% |"
+            )
     lines += ["", MARK_END]
     section = "\n".join(lines)
     path = os.path.join(REPO, "BENCH.md")

@@ -1,0 +1,88 @@
+"""snippet/highlight vectorized pandas paths vs the sequential spec
+(the reference KWIC algorithm [G: lib/proc/proc_snippet.c])."""
+
+from __future__ import annotations
+
+import html as _html
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _snippet_ref(text, keywords, width, max_n, open_tag, close_tag):
+    """The sequential KWIC spec the vectorized UDF must reproduce."""
+    pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
+    if text is None:
+        return []
+    out = []
+    last_end = -1
+    for m in pat.finditer(text):
+        if len(out) >= max_n:
+            break
+        lo = max(0, m.start() - width // 2)
+        hi = min(len(text), lo + width)
+        if lo <= last_end:
+            continue
+        frag = text[lo:hi]
+        if open_tag or close_tag:
+            frag = pat.sub(lambda mm: f"{open_tag}{mm.group(0)}{close_tag}",
+                           frag)
+        out.append(frag)
+        last_end = hi
+    return out
+
+
+def _highlight_ref(text, keywords):
+    pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
+    if text is None:
+        return None
+    esc = _html.escape(text, quote=False)
+    return pat.sub(
+        lambda m: f'<span class="keyword">{m.group(0)}</span>', esc)
+
+
+def _texts():
+    rng = random.Random(7)
+    vocab = ["spark", "SPARK", "merge", "fast", "x", "<b>", "&", "Spark"]
+    rows = [None, "", "spark", "no hits here at all"]
+    for _ in range(60):
+        rows.append(" ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(1, 60))))
+    return rows
+
+
+@pytest.mark.parametrize("width,max_n,tags", [
+    (20, 3, ("", "")),
+    (8, 2, ("[", "]")),
+    (50, 1, ("<em>", "</em>")),
+])
+def test_snippet_matches_sequential_spec(spark, width, max_n, tags):
+    from groonga_spark.functions import snippet_udf
+
+    rows = _texts()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "i long, text string")
+    snip = snippet_udf(["spark", "merge"], width=width, max_n=max_n,
+                       open_tag=tags[0], close_tag=tags[1])
+    got = {r["i"]: list(r["snips"])
+           for r in df.select("i", snip(F.col("text")).alias("snips"))
+           .collect()}
+    for i, t in enumerate(rows):
+        want = _snippet_ref(t, ["spark", "merge"], width, max_n, *tags)
+        assert got[i] == want, (i, t)
+
+
+def test_highlight_matches_sequential_spec(spark):
+    from groonga_spark.functions import highlight_html_udf
+
+    rows = _texts()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "i long, text string")
+    hl = highlight_html_udf(["spark", "&"])
+    got = {r["i"]: r["html"]
+           for r in df.select("i", hl(F.col("text")).alias("html"))
+           .collect()}
+    for i, t in enumerate(rows):
+        assert got[i] == _highlight_ref(t, ["spark", "&"]), (i, t)

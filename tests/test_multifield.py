@@ -185,3 +185,43 @@ def test_multifield_near_and_prefix_leaves(built, oracle, corpus):
           if any(t.startswith("sp")
                  for t in (v["title"] + " " + v["body"]).split())}
     assert gp == wp and gp
+
+
+@pytest.mark.parametrize("q,mc", [
+    ("spark", "title*10||body"),
+    ("spark merge", "title*10||body"),
+    ("spark merge table", "title||body"),
+    ("spark OR stream OR slow", "title*3||body"),
+    ("spark -slow", "title*10||body"),
+    ("spark merge -slow -window", "title||body"),
+    ("spark", "title"),
+])
+def test_multifield_pruned_topk_bit_identity(q, mc, built):
+    """The interval-pruned BM25F top-k must equal the exhaustive
+    leaf-algebra path BIT-for-bit (same float sequences), ties and all —
+    and must actually be the path search() takes for these shapes."""
+    from groonga_spark.ql import parse_query
+
+    cols = built._cols(mc)
+    got = built._pruned_topk(parse_query(q), cols, 10)
+    assert got is not None, (q, mc)  # shape must be eligible
+    exhaustive = [
+        (r["doc_id"], r["score"])
+        for r in built.match_docs(q, match_columns=mc)
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    assert got[0].tolist() == [d for d, _ in exhaustive], (q, mc)
+    assert got[1].tolist() == [s for _, s in exhaustive], (q, mc)
+
+
+def test_multifield_pruned_ineligible_shapes(built):
+    """Phrases / Near / nested boolean mixes fall back (None) — and
+    search() still answers them correctly through the exhaustive path."""
+    from groonga_spark.ql import parse_query
+
+    cols = built._cols("title||body")
+    assert built._pruned_topk(parse_query('"spark fast"'), cols, 10) is None
+    assert built._pruned_topk(parse_query('*N3"spark merge"'), cols, 10) is None
+    assert built._pruned_topk(
+        parse_query("(spark OR merge) table"), cols, 10
+    ) is None

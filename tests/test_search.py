@@ -797,3 +797,119 @@ def test_handle_invalidation_on_external_mutation(spark, tmp_path):
     s_fresh = sorted((r["doc_id"], r["score"])
                      for r in fresh.search("apple", 10).collect())
     assert s_handle == s_fresh
+
+
+def test_prefix_is_term_id_range(spark, tmp_path):
+    """A prefix plans as ONE TermRange over the contiguous dense-id span:
+    no per-term AST leaves, no giant IN list — and results are
+    bit-identical to the explicitly enumerated OR query."""
+    from groonga_spark.ql import Or as QOr
+    from groonga_spark.ql import TermRange
+
+    rows = [(i, f"t{i:03d} shared w{i % 5}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_rng")
+    build_index(spark, docs, path, mode="delimit", segment_size=1000)
+    idx = FulltextIndex(spark, path)
+
+    ast = idx._expand_ast(__import__("groonga_spark.ql",
+                                     fromlist=["parse_query"])
+                          .parse_query("t0*"))
+    assert isinstance(ast, TermRange)
+    assert ast.n_terms == 100 and ast.hi_tid - ast.lo_tid + 1 == 100
+    plan = idx._plan(ast)
+    assert plan["needed_tids"] == []          # nothing enumerated
+    assert plan["tid_ranges"] == [(ast.lo_tid, ast.hi_tid)]
+
+    got = [(r["doc_id"], r["score"])
+           for r in idx.search("t0*", 15, use_cache=False).collect()]
+    enum_q = " OR ".join(f"t{i:03d}" for i in range(100))
+    want = [(r["doc_id"], r["score"])
+            for r in idx.search(enum_q, 15, use_cache=False).collect()]
+    assert got == want
+    # membership too
+    gm = {r["doc_id"] for r in idx.match_docs("t0*").collect()}
+    assert gm == set(range(100))
+    # compound shapes route through the same plan machinery
+    g2 = {r["doc_id"] for r in idx.match_docs("t0* shared").collect()}
+    assert g2 == set(range(100))
+    g3 = {r["doc_id"] for r in idx.match_docs("shared -t0*").collect()}
+    assert g3 == set(range(100, 200))
+    # explicit enumerated Or must not have been built anywhere
+    assert not isinstance(ast, QOr)
+
+
+def test_hot_prefix_scales_without_leaves(spark, tmp_path):
+    """≥10k matching terms: the plan stays O(1) — two ints, zero
+    enumerated term ids — and the pruned top-k equals the exhaustive
+    evaluation bit-for-bit."""
+    import numpy as np
+
+    from groonga_spark.ql import TermRange, parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    n = 12_000
+    rows = [(i, f"p{i:05d} filler{i % 11}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_hot")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=256)
+    idx = FulltextIndex(spark, path)
+
+    ast = idx._expand_ast(parse_query("p*"))
+    assert isinstance(ast, TermRange) and ast.n_terms == n
+    plan = idx._plan(ast)
+    assert plan["needed_tids"] == [] and len(plan["tid_ranges"]) == 1
+    # df_by_tid is empty — per-term df rides the posting blocks
+    assert plan["df_by_tid"] == {}
+
+    pdf = idx._local_blocks([], plan, force=True)
+    kern = SegmentQueryKernel(pdf, plan, idx._stats(), 10)
+    kern.PRUNE_MIN_BLOCKS = 0
+    pruned = kern._pruned_multi(ast)
+    assert pruned is not None
+    want = _topk(*SegmentQueryKernel(pdf, plan, idx._stats(), 10).eval(ast),
+                 10)
+    assert (pruned[0] == want[0]).all()
+    assert (pruned[1] == want[1]).all()
+    # the public API agrees
+    got = [(r["doc_id"], r["score"]) for r in
+           idx.search("p*", 10, use_cache=False).collect()]
+    assert [d for d, _ in got] == want[0].tolist()
+    assert np.asarray([s for _, s in got]).tolist() == want[1].tolist()
+
+
+def test_prefix_on_ngram_index_is_lexicon_or(spark, tmp_path):
+    """On a bigram index a prefix matches docs holding ANY lexicon term
+    with that prefix via the term's OWN posting list (grn_ii_select
+    EX_PREFIX) — no query-side re-tokenization into phrases."""
+    rows = [
+        (0, "日本語の文書"),
+        (1, "日本の検索"),
+        (2, "検索だけの文書"),
+        (3, "日曜日です"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_cjk_pfx")
+    build_index(spark, docs, path, mode="bigram", segment_size=100)
+    idx = FulltextIndex(spark, path)
+
+    import pyarrow.dataset as ds
+
+    lex = sorted(
+        ds.dataset(idx.store.p("lexicon"), format="parquet")
+        .to_table(columns=["term"]).column("term").to_pylist()
+    )
+    pfx_terms = [t for t in lex if t.startswith("日")]
+    assert len(pfx_terms) >= 2  # 日本, 日曜 (at least)
+    got = {r["doc_id"] for r in idx.match_docs("日*").collect()}
+    # brute force over the corpus' own bigram token streams
+    from groonga_spark.normalize import normalize_str
+    from groonga_spark.tokenize import tokenize_str
+
+    want = {
+        d for d, t in rows
+        if any(tok in pfx_terms
+               for tok, _ in tokenize_str(normalize_str(t), "bigram"))
+    }
+    assert got == want and got == {0, 1, 3}
