@@ -27,38 +27,89 @@ from pyspark.sql import functions as F
 # script-syntax → Spark SQL translation
 # --------------------------------------------------------------------------
 
-_MATCH_OPS = [
-    # (groonga op, sql template)  — order matters (longest first)
-    (r"@\^", "startswith({col}, {val})"),
-    (r"@\$", "endswith({col}, {val})"),
-    (r"@~", "({col} RLIKE {val})"),
-    (r"@", "contains({col}, {val})"),
-]
+_MATCH_TMPL = {
+    "@^": "startswith({col}, {val})",
+    "@$": "endswith({col}, {val})",
+    "@~": "({col} RLIKE {val})",
+    "@": "contains({col}, {val})",
+}
+
+#: a match op at the END of a code chunk — the value is the next string
+#: literal token (ops are ordered longest-first in the alternation)
+_MATCH_TAIL = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*)\s*(@\^|@\$|@~|@)\s*$")
+
+
+def _lex_script(s: str) -> list[tuple[str, str]]:
+    """Split a script expression into ("code"|"str", text) tokens so
+    operator rewriting never touches the inside of a quoted literal
+    (``text @ "a && b"`` must keep its ``&&``)."""
+    out: list[tuple[str, str]] = []
+    buf: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            if buf:
+                out.append(("code", "".join(buf)))
+                buf = []
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    break
+                j += 1
+            out.append(("str", s[i : min(j + 1, n)]))
+            i = j + 1
+        else:
+            buf.append(c)
+            i += 1
+    if buf:
+        out.append(("code", "".join(buf)))
+    return out
 
 
 def script_to_sql(expr: str) -> str:
-    """Translate Groonga script-syntax boolean expr → Spark SQL string."""
-    s = expr
-    # match operators: col @ "value" (identifier/string forms)
-    for op, tmpl in _MATCH_OPS:
-        pat = re.compile(
-            r"([A-Za-z_][A-Za-z0-9_.]*)\s*" + op + r"\s*('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
-        )
-        while True:
-            m = pat.search(s)
-            if not m:
-                break
-            col, val = m.group(1), m.group(2)
+    """Translate Groonga script-syntax boolean expr → Spark SQL string.
+
+    Tokenizer-aware: string literals pass through VERBATIM (except a
+    match-op value's double quotes, normalized to SQL single quotes);
+    ``&& || == ! all_records() in_values(`` rewrite only in code."""
+    toks = _lex_script(expr)
+    parts: list[tuple[str, str]] = []
+    i = 0
+    while i < len(toks):
+        kind, text = toks[i]
+        if kind == "str":
+            parts.append(("str", text))
+            i += 1
+            continue
+        m = _MATCH_TAIL.search(text)
+        if m and i + 1 < len(toks) and toks[i + 1][0] == "str":
+            val = toks[i + 1][1]
             if val.startswith('"'):
                 val = "'" + val[1:-1].replace("'", "\\'") + "'"
-            s = s[: m.start()] + tmpl.format(col=col, val=val) + s[m.end() :]
-    s = re.sub(r"&&", " AND ", s)
-    s = re.sub(r"\|\|", " OR ", s)
-    s = re.sub(r"(?<![<>!=])==(?!=)", "=", s)
-    s = re.sub(r"!(?![=])", " NOT ", s)
-    s = re.sub(r"\ball_records\(\)", "true", s)
-    s = re.sub(r"\bin_values\(\s*([^,\)]+)\s*,", r"\1 IN (", s)  # close paren reused
-    return s
+            parts.append(("code", text[: m.start()]))
+            parts.append(
+                ("str", _MATCH_TMPL[m.group(2)].format(col=m.group(1),
+                                                       val=val))
+            )
+            i += 2
+            continue
+        parts.append(("code", text))
+        i += 1
+    out = []
+    for kind, text in parts:
+        if kind == "code":
+            text = re.sub(r"&&", " AND ", text)
+            text = re.sub(r"\|\|", " OR ", text)
+            text = re.sub(r"(?<![<>!=])==(?!=)", "=", text)
+            text = re.sub(r"!(?![=])", " NOT ", text)
+            text = re.sub(r"\ball_records\(\)", "true", text)
+            text = re.sub(r"\bin_values\(\s*([^,\)]+)\s*,", r"\1 IN (", text)
+        out.append(text)
+    return "".join(out)
 
 
 _QUERY_CALL = re.compile(

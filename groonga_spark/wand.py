@@ -219,15 +219,53 @@ class SegmentQueryKernel:
         self.plan = plan  # term text → {"term_id", "df", "tokens": [...]}
         self.stats = stats
         self.k = k
+        self.tomb = plan.get("tombstones")
         self.by_tid: dict[int, TermPostings] = {}
-        tomb = plan.get("tombstones")
-        for tid, g in blocks.groupby("term_id"):
-            df = plan["df_by_tid"].get(int(tid))
-            if df is None:
-                # TermRange member: the driver never looked this term up —
-                # its df rides the block rows (attached at finalize)
-                df = float(g["df"].iloc[0])
-            self.by_tid[int(tid)] = TermPostings(g, df, tomb)
+        # TermRange members never build per-term frames here: a hot
+        # prefix can cover 10^5+ terms, and 10^5 groupby/TermPostings
+        # constructions ARE the cost at that scale. Planned (looked-up)
+        # tids get eager TermPostings; range terms stay pooled in
+        # self._raw and evaluate through the vectorized range paths
+        # (_eval_range / _topk_range_pruned), or materialize lazily via
+        # _ensure_tps_for_range for compound-query pruning (capped).
+        self._raw = blocks
+        planned = {int(t) for t in plan.get("df_by_tid", {})}
+        if planned:
+            tid_col = blocks["term_id"].to_numpy(np.int64)
+            sub = (blocks if len(planned) >= len(np.unique(tid_col))
+                   else blocks[np.isin(tid_col, sorted(planned))])
+            for tid, g in sub.groupby("term_id"):
+                df = plan["df_by_tid"].get(int(tid))
+                if df is None:
+                    df = float(g["df"].iloc[0])
+                self.by_tid[int(tid)] = TermPostings(g, df, self.tomb)
+
+    def _raw_tids_in(self, lo: int, hi: int) -> np.ndarray:
+        """Distinct term_ids present in this kernel's blocks ∩ [lo, hi]."""
+        t = self._raw["term_id"].to_numpy(np.int64)
+        return np.unique(t[(t >= lo) & (t <= hi)])
+
+    def _ensure_tps_for_range(self, lo: int, hi: int) -> list[int]:
+        """Materialize TermPostings for every range member (compound-
+        query pruning path — member count pre-capped by RANGE_GROUP_MAX);
+        ONE groupby over the range's sub-frame, not one scan per term."""
+        t = self._raw["term_id"].to_numpy(np.int64)
+        m = (t >= lo) & (t <= hi)
+        out = []
+        missing = []
+        for tid in np.unique(t[m]).tolist():
+            if tid in self.by_tid:
+                out.append(tid)
+            else:
+                missing.append(tid)
+        if missing:
+            sub = self._raw[m & np.isin(t, missing)]
+            for tid, g in sub.groupby("term_id"):
+                self.by_tid[int(tid)] = TermPostings(
+                    g, float(g["df"].iloc[0]), self.tomb
+                )
+                out.append(int(tid))
+        return sorted(out)
 
     @classmethod
     def from_term_postings(cls, by_tid: dict[int, TermPostings],
@@ -242,6 +280,8 @@ class SegmentQueryKernel:
         self.stats = stats
         self.k = k
         self.by_tid = dict(by_tid)
+        self.tomb = None
+        self._raw = None  # no pooled range paths through this entry
         return self
 
     def _leaf_tokens(self, text: str) -> list[int] | None:
@@ -304,25 +344,63 @@ class SegmentQueryKernel:
             return empty
         raise TypeError(type(node))
 
+    def _range_sub(self, lo: int, hi: int) -> pd.DataFrame:
+        """This kernel's block rows for term_ids in [lo, hi], sorted
+        (term_id, segment, block_id) — tid-MAJOR pooled order, so any
+        per-doc accumulation over the concatenated decode follows
+        ascending term_id (the enumerated-OR float sequence)."""
+        t = self._raw["term_id"].to_numpy(np.int64)
+        return self._raw[(t >= lo) & (t <= hi)].sort_values(
+            ["term_id", "segment", "block_id"]
+        )
+
+    def _bm25_pooled(self, tf: np.ndarray, dl: np.ndarray,
+                     df_rep: np.ndarray) -> np.ndarray:
+        """bm25 over pooled arrays whose df varies per element. idf is
+        computed with math.log per UNIQUE df (not np.log over the array)
+        so every element gets the BIT-identical idf the per-term bm25()
+        produces — np.log may differ from libm by an ulp."""
+        from groonga_spark.score import idf as _idf
+
+        st = self.stats
+        uniq, inv = np.unique(df_rep, return_inverse=True)
+        idf_u = np.asarray([_idf(d, st["n_docs"]) for d in uniq.tolist()],
+                           np.float64)
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        denom = tf + st["k1"] * (1.0 - st["b"] + st["b"] * dl / st["avgdl"])
+        return idf_u[inv] * tf / denom
+
     def _eval_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         """TermRange ≡ OR over every term_id in [lo, hi] present here,
         scores ADDING per doc in ascending-term_id order — bit-identical
         to the enumerated Or([Term…]) path (np.add.at accumulates in
         concatenation order == the sequential union-merge order, and
-        0 + x == x exactly), without per-term Python beyond the decode."""
-        tids = sorted(t for t in self.by_tid if lo <= t <= hi)
-        d_parts, s_parts = [], []
-        for t in tids:
-            d, s = self._eval_single(t)
-            if len(d):
-                d_parts.append(d)
-                s_parts.append(s)
-        if not d_parts:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        docs_all = np.concatenate(d_parts)
-        uniq, inv = np.unique(docs_all, return_inverse=True)
+        0 + x == x exactly). POOLED: one vb_decode per stream over every
+        range block, one bm25 pass with per-element df — zero per-term
+        Python/pandas (a 10^5-term prefix is a handful of numpy passes)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        sub = self._range_sub(lo, hi)
+        if not len(sub):
+            return empty
+        nd = sub["n_docs"].to_numpy(np.int64)
+        doc = _segmented_cumsum(
+            vb_decode(b"".join(sub["doc_deltas"])).astype(np.int64), nd
+        )
+        tf = vb_decode(b"".join(sub["tfs"])).astype(np.int64)
+        dl = vb_decode(b"".join(sub["dls"])).astype(np.int64)
+        df_rep = np.repeat(sub["df"].to_numpy(np.float64), nd)
+        if self.tomb is not None and len(self.tomb):
+            keep = ~np.isin(doc, self.tomb, assume_unique=False)
+            if not keep.all():
+                doc, tf, dl, df_rep = (doc[keep], tf[keep], dl[keep],
+                                       df_rep[keep])
+        if not len(doc):
+            return empty
+        s = self._bm25_pooled(tf, dl, df_rep)
+        uniq, inv = np.unique(doc, return_inverse=True)
         agg = np.zeros(len(uniq), np.float64)
-        np.add.at(agg, inv, np.concatenate(s_parts))
+        np.add.at(agg, inv, s)
         return uniq, agg
 
     # --- leaves ------------------------------------------------------------
@@ -584,10 +662,17 @@ class SegmentQueryKernel:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Interval-pruned top-k over ``groups``.
 
-        A group is ``{"kind": "or"|"and", "members": [(tid, w), ...],
-        "post": checker|None}`` — one query-AST child. kind 'or' = any
-        member matches (plain term / OR-of-terms); kind 'and' = every
-        member + an optional positional post check (phrase / near).
+        A group is one query-AST child, in one of two forms:
+        - ``{"kind": "or"|"and", "members": [(tid, w), ...], "post":
+          checker|None}`` — kind 'or' = any member matches (plain term /
+          OR-of-terms); kind 'and' = every member + an optional
+          positional post check (phrase / near);
+        - ``{"kind": "disjuncts", "disjuncts": [{"members": [...],
+          "post": ...}, ...]}`` — a UNION of conjunctive units in child
+          order (an OR child mixing plain terms with phrases/nears):
+          each disjunct intersects its members (+ post check), disjunct
+          sums add per doc in listed order — the exhaustive _eval_or
+          sequence over mixed children.
         ``mode`` 'or' unions groups (scores add in group order — the
         exhaustive _eval_or merge sequence); ``mode`` 'and' intersects
         groups (scores add in group order — the exhaustive non-fused
@@ -595,7 +680,23 @@ class SegmentQueryKernel:
         single-member groups with dup-count weights to match
         _intersect_scored)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        uniq_tids = sorted({t for g in groups for t, _ in g["members"]})
+
+        def _disjuncts(g) -> list[dict]:
+            """Normalize a group to its disjunct list. or-kind → one
+            single-member disjunct per member (np.add.at over the flat
+            member concat == union-add of singleton disjuncts, so the
+            float sequences are unchanged); and-kind → one disjunct."""
+            if g["kind"] == "disjuncts":
+                return g["disjuncts"]
+            if g["kind"] == "or":
+                return [{"members": [m], "post": None}
+                        for m in g["members"]]
+            return [{"members": g["members"], "post": g["post"]}]
+
+        norm = [(g, _disjuncts(g)) for g in groups]
+        uniq_tids = sorted({
+            t for _, ds in norm for d in ds for t, _ in d["members"]
+        })
         tps = {t: self.by_tid[t] for t in uniq_tids}
         lo_d = {t: tps[t].blocks["min_doc_id"].to_numpy(np.int64)
                 for t in uniq_tids}
@@ -633,20 +734,23 @@ class SegmentQueryKernel:
 
         total_ub = np.zeros(n_int, np.float64)
         covered_all = np.ones(n_int, bool)
-        for g in groups:
+        for _g, ds in norm:
             g_ub = np.zeros(n_int, np.float64)
-            g_cov = np.ones(n_int, bool)
-            for t, w in g["members"]:
-                g_ub += w * iub_d[t]
-                if g["kind"] == "and":
-                    g_cov &= iub_d[t] > 0
-            if g["kind"] == "and":
-                # phrase/near group: a doc needs EVERY member token, so
-                # intervals missing any member can't contain group docs
-                g_ub[~g_cov] = 0.0
+            g_cov = np.zeros(n_int, bool)
+            for d in ds:
+                d_ub = np.zeros(n_int, np.float64)
+                d_cov = np.ones(n_int, bool)
+                for t, w in d["members"]:
+                    d_ub += w * iub_d[t]
+                    d_cov &= iub_d[t] > 0
+                # a conjunctive unit needs EVERY member token, so
+                # intervals missing any member can't contain its docs
+                d_ub[~d_cov] = 0.0
+                g_ub += d_ub
+                g_cov |= d_cov
             total_ub += g_ub
             if mode == "and":
-                covered_all &= g_ub > 0
+                covered_all &= g_cov
         if mode == "and":
             total_ub[~covered_all] = 0.0
         order = np.argsort(-total_ub, kind="stable")
@@ -686,48 +790,55 @@ class SegmentQueryKernel:
                 return None
             return np.concatenate(d_parts), np.concatenate(s_parts)
 
-        def _group_docs_scores(g, chunk, in_chunk):
-            """(sorted docs, aggregated scores) of one group within the
-            chunk's intervals.
-
-            kind 'or' (an OR-of-terms AND child / plain term): member
-            contributions added in member order per doc (np.add.at
-            operand order — the exhaustive _eval_or sequence).
-            kind 'and' (phrase / near): docs must hold EVERY member;
-            scores Σ w·bm25 in sorted-member order (the exhaustive
-            _intersect_scored sequence), then the positional post check
-            on the group's own docs."""
+        def _disjunct_docs_scores(d, chunk, in_chunk):
+            """(sorted docs, scores) of one conjunctive unit within the
+            chunk's intervals: intersect members, scores Σ w·bm25 in
+            member order (the exhaustive _intersect_scored sequence for
+            phrase/near members, plain per-term score for singletons),
+            then the positional post check on the unit's own docs."""
             per = [
-                _member_chunk(t, w, chunk, in_chunk) for t, w in g["members"]
+                _member_chunk(t, w, chunk, in_chunk) for t, w in d["members"]
             ]
-            if g["kind"] == "or":
-                per = [p for p in per if p is not None]
-                if not per:
-                    return None
-                docs_all = np.concatenate([d for d, _ in per])
-                uniq_docs, inv = np.unique(docs_all, return_inverse=True)
-                agg = np.zeros(len(uniq_docs), np.float64)
-                np.add.at(agg, inv, np.concatenate([s for _, s in per]))
-                return uniq_docs, agg
-            # kind "and"
             if any(p is None for p in per):
                 return None
             cand = per[0][0]
-            for d, _ in per[1:]:
+            for dd, _ in per[1:]:
                 if len(cand) == 0:
                     return None
-                cand = cand[np.isin(cand, d, assume_unique=True)]
+                cand = cand[np.isin(cand, dd, assume_unique=True)]
             if len(cand) == 0:
                 return None
-            score = per[0][1][np.searchsorted(per[0][0], cand)].copy()
-            for d, s in per[1:]:
-                score += s[np.searchsorted(d, cand)]
-            if g["post"] is not None:
-                keep = g["post"](cand)
+            if len(per) == 1:
+                score = per[0][1]
+            else:
+                score = per[0][1][np.searchsorted(per[0][0], cand)].copy()
+                for dd, s in per[1:]:
+                    score += s[np.searchsorted(dd, cand)]
+            if d["post"] is not None:
+                keep = d["post"](cand)
                 cand, score = cand[keep], score[keep]
                 if len(cand) == 0:
                     return None
             return cand, score
+
+        def _group_docs_scores(g_ds, chunk, in_chunk):
+            """(sorted docs, aggregated scores) of one group within the
+            chunk's intervals: union-add over the group's disjuncts in
+            listed order (np.add.at operand order — the exhaustive
+            _eval_or sequence over the child's parts)."""
+            per = [
+                _disjunct_docs_scores(d, chunk, in_chunk) for d in g_ds
+            ]
+            per = [p for p in per if p is not None]
+            if not per:
+                return None
+            if len(per) == 1:
+                return per[0]
+            docs_all = np.concatenate([d for d, _ in per])
+            uniq_docs, inv = np.unique(docs_all, return_inverse=True)
+            agg = np.zeros(len(uniq_docs), np.float64)
+            np.add.at(agg, inv, np.concatenate([s for _, s in per]))
+            return uniq_docs, agg
 
         # candidate-driven NOT: single-token negative terms decode only
         # blocks overlapping surviving candidates, chunk by chunk (a huge
@@ -786,8 +897,8 @@ class SegmentQueryKernel:
                 # union-add across groups in child order (the exhaustive
                 # _eval_or merge sequence per doc)
                 per_group = []
-                for g in groups:
-                    got = _group_docs_scores(g, chunk, in_chunk)
+                for _g, ds in norm:
+                    got = _group_docs_scores(ds, chunk, in_chunk)
                     if got is not None:
                         per_group.append(got)
                 if not per_group:
@@ -801,8 +912,8 @@ class SegmentQueryKernel:
             else:
                 per_group = []
                 ok = True
-                for g in groups:
-                    got = _group_docs_scores(g, chunk, in_chunk)
+                for _g, ds in norm:
+                    got = _group_docs_scores(ds, chunk, in_chunk)
                     if got is None:
                         ok = False
                         break  # a group matched nothing in these intervals
@@ -848,21 +959,32 @@ class SegmentQueryKernel:
         ascending-term_id block order (a doc sits in ≤1 block per term),
         reproducing _eval_range's float sequence exactly — bit-identical
         to the exhaustive path, ties and all."""
+        import math
+
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        tids = sorted(t for t in self.by_tid if lo <= t <= hi)
-        if not tids:
+        sub = self._range_sub(lo, hi)
+        if not len(sub):
             return empty
-        tps = [self.by_tid[t] for t in tids]
-        counts = [len(tp.blocks) for tp in tps]
-        own = np.repeat(np.arange(len(tps)), counts)
-        loc = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
-        blo = np.concatenate(
-            [tp.blocks["min_doc_id"].to_numpy(np.int64) for tp in tps]
+        nblk = len(sub)
+        nd = sub["n_docs"].to_numpy(np.int64)
+        blo = sub["min_doc_id"].to_numpy(np.int64)
+        bhi = sub["max_doc_id"].to_numpy(np.int64)
+        df_blk = sub["df"].to_numpy(np.float64)
+        st = self.stats
+        # per-block bounds, vectorized with per-row df (idf via math.log
+        # per unique df — bit-matches TermPostings.block_bounds)
+        uniq_df, inv_df = np.unique(df_blk, return_inverse=True)
+        idf_u = np.asarray(
+            [math.log(1.0 + (st["n_docs"] - d + 0.5) / (d + 0.5))
+             for d in uniq_df.tolist()], np.float64
         )
-        bhi = np.concatenate(
-            [tp.blocks["max_doc_id"].to_numpy(np.int64) for tp in tps]
+        max_tf = sub["max_tf"].to_numpy(np.float64)
+        min_dl = sub["min_dl"].to_numpy(np.float64)
+        denom = max_tf + st["k1"] * (
+            1.0 - st["b"] + st["b"] * min_dl / st["avgdl"]
         )
-        ub = np.concatenate([tp.block_bounds(self.stats) for tp in tps])
+        ub = idf_u[inv_df] * max_tf / denom * (1.0 + 1e-9)
+
         bounds = np.unique(np.concatenate([blo, bhi + 1]))
         n_int = len(bounds) - 1
         if n_int <= 0:
@@ -878,7 +1000,42 @@ class SegmentQueryKernel:
         if len(order) == 0:
             return empty
 
-        decoded: dict[int, tuple] = {}  # pooled block idx → (d, s, iid)
+        # decode memo: pooled block idx → (docs, scores, interval ids) —
+        # each new chunk batch-decodes ONE vb_decode per stream over the
+        # concatenated buffers of its not-yet-seen blocks (never a
+        # per-term frame, never a per-block decode call)
+        decoded: dict[int, tuple] = {}
+        deltas_col = sub["doc_deltas"].to_numpy(object)
+        tfs_col = sub["tfs"].to_numpy(object)
+        dls_col = sub["dls"].to_numpy(object)
+
+        def _decode_new(new: np.ndarray) -> None:
+            if not len(new):
+                return
+            nd_n = nd[new]
+            doc = _segmented_cumsum(
+                vb_decode(b"".join(deltas_col[new])).astype(np.int64), nd_n
+            )
+            tf = vb_decode(b"".join(tfs_col[new])).astype(np.int64)
+            dl = vb_decode(b"".join(dls_col[new])).astype(np.int64)
+            dfr = np.repeat(df_blk[new], nd_n)
+            keep = None
+            if self.tomb is not None and len(self.tomb):
+                keep = ~np.isin(doc, self.tomb, assume_unique=False)
+                doc, tf, dl, dfr = doc[keep], tf[keep], dl[keep], dfr[keep]
+                nd_k = np.add.reduceat(
+                    keep.astype(np.int64), np.cumsum(nd_n) - nd_n
+                ) if len(nd_n) else np.empty(0, np.int64)
+            else:
+                nd_k = nd_n
+            s = self._bm25_pooled(tf, dl, dfr)
+            iid = np.searchsorted(bounds, doc, side="right") - 1
+            ends = np.cumsum(nd_k)
+            starts = ends - nd_k
+            for j, b in enumerate(new.tolist()):
+                sl = slice(int(starts[j]), int(ends[j]))
+                decoded[b] = (doc[sl], s[sl], iid[sl])
+
         k = self.k
         run_doc = np.empty(0, np.int64)
         run_score = np.empty(0, np.float64)
@@ -898,18 +1055,9 @@ class SegmentQueryKernel:
                 chunk_sorted[np.minimum(pos, len(chunk_sorted) - 1)] < e_idx
             )
             need = np.flatnonzero(hit)  # ascending == (term_id, block) order
-            new = np.asarray(
+            _decode_new(np.asarray(
                 [b for b in need.tolist() if b not in decoded], np.int64
-            )
-            for ti in np.unique(own[new]).tolist():
-                rows = new[own[new] == ti]
-                splits = tps[ti].decode_idx_split(loc[rows])
-                st = tps[ti].stats or self.stats
-                for b, (d, tf, dl) in zip(rows.tolist(), splits):
-                    s = bm25(tf, dl, tps[ti].df, st["n_docs"],
-                             st["avgdl"], st["k1"], st["b"])
-                    iid = np.searchsorted(bounds, d, side="right") - 1
-                    decoded[b] = (d, s, iid)
+            ))
             in_chunk[:] = False
             in_chunk[chunk] = True
             d_parts, s_parts = [], []
@@ -941,33 +1089,32 @@ class SegmentQueryKernel:
     RANGE_GROUP_MAX = 256
 
     def _range_members(self, lo: int, hi: int) -> list[int] | None:
-        """tids of this kernel's terms inside [lo, hi], ascending; None
-        when too many for the per-member interval machinery."""
-        tids = sorted(t for t in self.by_tid if lo <= t <= hi)
-        if len(tids) > self.RANGE_GROUP_MAX:
+        """tids of this kernel's terms inside [lo, hi], ascending, with
+        TermPostings materialized; None when too many for the per-member
+        interval machinery."""
+        if len(self._raw_tids_in(lo, hi)) > self.RANGE_GROUP_MAX:
             return None
-        return tids
+        return self._ensure_tps_for_range(lo, hi)
 
-    def _or_members(self, children) -> list[int] | None:
-        """Or children → member tids in child order. None → shape not
-        pruneable (fall back); empty list → no live member."""
-        toks = []
+    def _or_disjuncts(self, children) -> list[dict] | None:
+        """Or-under-And children → disjunct list in child order: plain
+        single-token terms become singleton disjuncts, phrase/near
+        leaves become multi-member disjuncts with their positional post
+        checks. None → not pruneable. A TermRange child may NOT join
+        (the exhaustive _eval_or adds its PRE-aggregated sum —
+        ((s_a)+(s_r1+s_r2)) — while disjunct-per-term would add
+        ((s_a+s_r1)+s_r2), a different float sequence); ranges under an
+        OR-under-AND take the exhaustive path."""
+        out = []
         for c in children:
-            # NOTE a TermRange here may NOT be flattened into the member
-            # list: the exhaustive _eval_or adds each CHILD's pre-
-            # aggregated sum ((s_a)+(s_r1+s_r2)), while flat members add
-            # ((s_a+s_r1)+s_r2) — different float sequences. Ranges under
-            # an OR-under-AND take the exhaustive path.
-            if not isinstance(c, (Term, Phrase)):
+            if not isinstance(c, (Term, Phrase, Near)):
                 return None
-            tids = self._leaf_tokens(c.text)
-            if not tids:  # unknown/empty leaf contributes nothing
-                continue
-            if len(tids) != 1:
-                return None  # phrase member → exhaustive
-            if tids[0] in self.by_tid:
-                toks.append(tids[0])
-        return toks
+            g = self._leaf_group(c)
+            if g == "empty":
+                continue  # unknown/empty leaf contributes nothing
+            out.append({"members": g["members"],
+                        "post": g.get("post")})
+        return out
 
     #: below this many total blocks the exhaustive path's single batched
     #: decode beats the interval machinery (measured crossover; the
@@ -1011,8 +1158,7 @@ class SegmentQueryKernel:
         nears ride along as "and"-kind groups with positional post
         checks). None → exhaustive fallback."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        if (sum(len(tp.blocks) for tp in self.by_tid.values())
-                < self.PRUNE_MIN_BLOCKS):
+        if len(self._raw) < self.PRUNE_MIN_BLOCKS:
             return None  # tiny posting set: decode-all is cheaper
         if isinstance(ast, TermRange):
             # hot prefix at the root: pooled-block interval pruning — no
@@ -1102,14 +1248,13 @@ class SegmentQueryKernel:
                             return empty  # an AND child can't match
                         groups.append(g)
                     elif isinstance(c, Or):
-                        mem = self._or_members(c.children)
-                        if mem is None:
+                        dis = self._or_disjuncts(c.children)
+                        if dis is None:
                             return None
-                        if not mem:
+                        if not dis:
                             return empty  # OR child matches nothing
-                        groups.append({"kind": "or",
-                                       "members": [(t, 1.0) for t in mem],
-                                       "post": None})
+                        groups.append({"kind": "disjuncts",
+                                       "disjuncts": dis})
                     else:
                         return None
             neg_docs = None

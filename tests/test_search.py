@@ -668,13 +668,19 @@ def test_pruned_path_fuzz_random_queries(spark, tmp_path):
     def rand_leaf():
         r = rng.random()
         t = rng.choice(vocab + ["zzznope"])
-        if r < 0.55:
+        if r < 0.45:
             return t
-        if r < 0.75:
+        if r < 0.6:
             return f'"{t} {rng.choice(vocab)}"'
-        if r < 0.9:
+        if r < 0.72:
             return f'*N{rng.randrange(1, 8)}"{t} {rng.choice(vocab)}"'
-        return f"({t} OR {rng.choice(vocab)})"
+        if r < 0.86:
+            return f"({t} OR {rng.choice(vocab)})"
+        # phrase/near INSIDE an OR (disjunct groups under an AND parent)
+        if r < 0.94:
+            return f'({t} OR "{rng.choice(vocab)} {rng.choice(vocab)}")'
+        return (f'({t} OR *N{rng.randrange(2, 6)}'
+                f'"{rng.choice(vocab)} {rng.choice(vocab)}")')
 
     def rand_query():
         n = rng.randrange(1, 4)
@@ -686,7 +692,7 @@ def test_pruned_path_fuzz_random_queries(spark, tmp_path):
             q = f"{q} OR {rand_leaf()}"
         return q
 
-    checked = pruned_used = 0
+    checked = pruned_used = disjunct_pruned = 0
     for _ in range(120):
         q = rand_query()
         ast = idx._expand_ast(parse_query(q))
@@ -703,10 +709,13 @@ def test_pruned_path_fuzz_random_queries(spark, tmp_path):
         if pr is None:
             continue  # legitimately unpruneable shape
         pruned_used += 1
+        if 'OR "' in q or "OR *N" in q:
+            disjunct_pruned += 1  # phrase/near-inside-OR took pruned path
         assert (pr[0] == want[0]).all(), (q, k, pr, want)
         assert (pr[1] == want[1]).all(), (q, k)
         checked += 1
     assert pruned_used >= 60, pruned_used  # the fuzzer exercises the pruner
+    assert disjunct_pruned >= 8, disjunct_pruned  # incl. disjunct groups
 
 
 def test_pruned_path_fuzz_bigram_cjk(spark, tmp_path):

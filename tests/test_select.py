@@ -25,9 +25,28 @@ def docs(spark):
     ('text @$ "rk"', "endswith(text, 'rk')"),
     ('text @~ "s.k"', "(text RLIKE 's.k')"),
     ("all_records()", "true"),
+    # operators INSIDE string literals must survive untouched
+    ('text @ "a && b"', "contains(text, 'a && b')"),
+    ('name == "x!y"', 'name = "x!y"'),
+    ("name == 'a||b == c'", "name = 'a||b == c'"),
+    ('a @ "x" && b @~ "y|z"', "contains(a, 'x') AND (b RLIKE 'y|z')"),
+    ('in_values(lang, "a&&b", "c")', 'lang IN ( "a&&b", "c")'),
 ])
 def test_script_to_sql(expr, sql):
     assert " ".join(script_to_sql(expr).split()) == sql
+
+
+def test_script_filter_with_operators_in_literals(spark):
+    """End-to-end: a filter whose string literal contains script
+    operators selects by the LITERAL text, not a mangled expression."""
+    df = spark.createDataFrame(
+        [(0, "a && b"), (1, "plain"), (2, "x!y || z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in
+           select(df, filter='text @ "&& b" || text == "x!y || z"',
+                  limit=-1, need_hit_count=False).hits.collect()}
+    assert got == {0, 2}
 
 
 def test_filter_sort_offset_limit(spark, docs):
