@@ -36,6 +36,7 @@ QUERY_SET = [
     ("q_not", "(table OR merge) -slow"),
     ("q_phrase", '"spark fast"'),
     ("q_rare_pair", "vector window"),
+    ("q_prefix", "s*"),  # TermRange plan (lexicon-range → BETWEEN scan)
 ]
 
 

@@ -183,6 +183,19 @@ def now() -> Column:
     return F.current_timestamp()
 
 
+def rand(max: int | None = None, seed: int | None = None) -> Column:  # noqa: A002
+    """[G: lib/proc.c · func rand] — ``rand()`` → double in [0, 1),
+    ``rand(max)`` → int in [0, max). Non-deterministic by nature (the
+    reference seeds from time); pass ``seed`` for reproducible runs —
+    with a fixed seed AND a fixed partitioning Spark's rand is
+    deterministic, which is why only the seeded form appears in tests
+    and no oracle exists (DuckDB's PRNG can't match Spark's)."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    if max is None:
+        return r
+    return F.floor(r * F.lit(int(max))).cast("long")
+
+
 # --------------------------------------------------------------------------
 # time_classify_*  [G: plugins/functions/time.c · time_classify_*]
 # --------------------------------------------------------------------------
@@ -338,6 +351,7 @@ FUNCTIONS = {
     "math_abs": math_abs,
     "number_round": number_round,
     "now": now,
+    "rand": rand,
     "time_classify": time_classify,
     "time_classify_minute_interval": time_classify_minute_interval,
     "time_format": time_format,

@@ -185,27 +185,17 @@ class MultiFieldIndex:
     #: | field-local term_id (term_ids are dense ranks, far below 2^40)
     _FIELD_SHIFT = 40
 
-    def _pruned_topk(self, ast, cols: list[tuple[str, float]], k: int):
-        """BM25F top-k through the interval pruner — ONE kernel call over
-        members drawn from every field's postings, each member carrying
-        its field's stats/weight, instead of scoring every hit of every
-        field and sorting (the round-2 shape). Group model: one or-kind
-        group per query leaf, members = (field, token) in match_columns
-        order with weight w_f — upper bounds Σ w_f·bound_f per interval,
-        so a head-term query stops after the top-k stabilizes exactly
-        like the single-field path. Bit-identical to the exhaustive
-        DataFrame algebra (member adds in cols order == the combine('or')
-        chain; group adds in child order == the combine('and') chain).
-
-        Returns (doc_ids, scores) or None when the shape isn't eligible
-        (multi-token leaves, Prefix/Near/Similar, nested OR/AND mixes,
-        posting volume above the driver-local cap) — callers fall back
-        to the exhaustive evaluator."""
-        import numpy as np
-
+    def _pruned_plan(self, ast, cols: list[tuple[str, float]]):
+        """Shape/lexicon analysis shared by the local and distributed
+        pruned paths (driver-cheap: tokenize the leaves once, one pruned
+        lexicon lookup per field). Returns None when the SHAPE isn't
+        eligible (multi-token leaves, Prefix/Near/Similar, nested OR/AND
+        mixes); "empty" when an AND leaf matches no field; else a dict:
+        mode, groups/neg_tids over the mapped-tid namespace, per-mapped-
+        tid df, per-field stats/tombstones, per-field raw-tid lists, and
+        Σdf (posting-volume estimate)."""
         from groonga_spark.normalize import normalize_str
         from groonga_spark.tokenize import tokenize_str
-        from groonga_spark.wand import SegmentQueryKernel, TermPostings
 
         if isinstance(ast, Term):
             pos, neg, mode = [ast], [], "and"
@@ -231,62 +221,228 @@ class MultiFieldIndex:
                 return None  # multi-token leaf (ngram/phrase) → exhaustive
             texts.append(toks[0])
 
-        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         shift = 1 << self._FIELD_SHIFT
-        by_tid: dict[int, TermPostings] = {}
         mapped: list[dict[str, int]] = []
+        df_by_tid: dict[int, float] = {}
+        raw_tids: list[list[int]] = []
+        stats_by_field: dict[int, dict] = {}
+        tombs: dict[int, object] = {}
+        sum_df = 0.0
         for fi, (name, _w) in enumerate(cols):
             fidx = self.field(name)
             fidx._check_generation()
             rows = fidx._lexicon_lookup(sorted(set(texts)))
             tid_map = {t: (tid, df) for t, tid, df in rows}
-            tids = sorted({tid for tid, _ in tid_map.values()})
-            if not tids:
-                mapped.append({})
-                continue
-            plan_f = {
-                "df_by_tid": {tid: df for tid, df in tid_map.values()},
-                "tid_ranges": [],
-                "ranges_sum_df": 0.0,
-            }
-            pdf = fidx._local_blocks(tids, plan_f)
-            if pdf is None:
-                return None  # volume warrants the cluster → exhaustive
-            stats_f = fidx._stats()
-            tomb = fidx.tombstones()
-            for tid, g in pdf.groupby("term_id"):
-                by_tid[(fi + 1) * shift + int(tid)] = TermPostings(
-                    g, plan_f["df_by_tid"][int(tid)], tomb, stats_f
-                )
             mapped.append(
                 {t: (fi + 1) * shift + tid for t, (tid, _d) in tid_map.items()}
             )
+            raw_tids.append(sorted({tid for tid, _ in tid_map.values()}))
+            for _t, (tid, df) in tid_map.items():
+                df_by_tid[(fi + 1) * shift + tid] = float(df)
+                sum_df += float(df)
+            stats_by_field[fi] = fidx._stats()
+            tombs[fi] = fidx.tombstones()
 
         groups = []
         for tok in texts[: len(pos)]:
             members = []
             for fi, (_name, w) in enumerate(cols):
                 mt = mapped[fi].get(tok)
-                if mt is not None and mt in by_tid:
+                if mt is not None:
                     members.append((mt, float(w)))
             if members:
                 groups.append({"kind": "or", "members": members,
                                "post": None})
             elif mode == "and":
-                return empty  # an AND leaf matches no field
+                return "empty"  # an AND leaf matches no field
         if not groups:
-            return empty
+            return "empty"
         neg_tids = []
         for tok in texts[len(pos):]:
             for fi in range(len(cols)):
                 mt = mapped[fi].get(tok)
-                if mt is not None and mt in by_tid:
+                if mt is not None:
                     neg_tids.append(mt)
+        return {
+            "mode": mode,
+            "groups": groups,
+            "neg_tids": neg_tids,
+            "df_by_tid": df_by_tid,
+            "raw_tids": raw_tids,
+            "stats_by_field": stats_by_field,
+            "tombs": tombs,
+            "sum_df": sum_df,
+        }
+
+    def _pruned_topk(self, ast, cols: list[tuple[str, float]], k: int):
+        """BM25F top-k through the interval pruner — ONE kernel call over
+        members drawn from every field's postings, each member carrying
+        its field's stats/weight, instead of scoring every hit of every
+        field and sorting (the round-2 shape). Group model: one or-kind
+        group per query leaf, members = (field, token) in match_columns
+        order with weight w_f — upper bounds Σ w_f·bound_f per interval,
+        so a head-term query stops after the top-k stabilizes exactly
+        like the single-field path. Bit-identical to the exhaustive
+        DataFrame algebra (member adds in cols order == the combine('or')
+        chain; group adds in child order == the combine('and') chain).
+
+        Returns (doc_ids, scores); "distributed" when the shape is
+        eligible but the posting volume is above the driver-local cap
+        (route to _pruned_topk_distributed); None when the shape isn't
+        eligible — callers fall back to the exhaustive evaluator."""
+        import numpy as np
+
+        from groonga_spark.wand import SegmentQueryKernel, TermPostings
+
+        pp = self._pruned_plan(ast, cols)
+        if pp is None:
+            return None
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if pp == "empty":
+            return empty
+
+        shift = 1 << self._FIELD_SHIFT
+        by_tid: dict[int, TermPostings] = {}
+        for fi, (name, _w) in enumerate(cols):
+            tids = pp["raw_tids"][fi]
+            if not tids:
+                continue
+            fidx = self.field(name)
+            plan_f = {
+                "df_by_tid": {
+                    t - (fi + 1) * shift: d
+                    for t, d in pp["df_by_tid"].items()
+                    if t >> self._FIELD_SHIFT == fi + 1
+                },
+                "tid_ranges": [],
+                "ranges_sum_df": 0.0,
+            }
+            pdf = fidx._local_blocks(tids, plan_f)
+            if pdf is None:
+                return "distributed"  # volume warrants the cluster
+            for tid, g in pdf.groupby("term_id"):
+                mt = (fi + 1) * shift + int(tid)
+                by_tid[mt] = TermPostings(
+                    g, pp["df_by_tid"][mt], pp["tombs"][fi],
+                    pp["stats_by_field"][fi]
+                )
+
+        # drop members whose postings are absent (belt-and-braces: a
+        # lexicon hit always has postings) — preserves member order
+        groups = []
+        for g in pp["groups"]:
+            members = [(t, w) for t, w in g["members"] if t in by_tid]
+            if members:
+                groups.append({"kind": "or", "members": members,
+                               "post": None})
+            elif pp["mode"] == "and":
+                return empty
+        if not groups:
+            return empty
+        neg_tids = [t for t in pp["neg_tids"] if t in by_tid]
 
         kern = SegmentQueryKernel.from_term_postings(
-            by_tid, self.field(cols[0][0])._stats(), k
+            by_tid, pp["stats_by_field"][0], k
         )
-        return kern._topk_interval_pruned(groups, mode, None, neg_tids)
+        return kern._topk_interval_pruned(groups, pp["mode"], None, neg_tids)
+
+    def _pruned_topk_distributed(self, ast, cols: list[tuple[str, float]],
+                                 k: int) -> DataFrame | None:
+        """Cluster-scale BM25F pruned top-k: union every field's
+        term_id-pruned postings (tids remapped into the field namespace),
+        group by (segment, shard) — field layouts share shard boundaries
+        (same segment_size/shard_size, same doc ids), so one shard group
+        holds EVERY field's blocks for its doc range — and run the same
+        interval-pruner kernel per shard; global top-k merge touches k
+        rows per shard (TakeOrderedAndProject). None when the field
+        layouts don't align (different shard geometry) — exhaustive
+        fallback."""
+        import pandas as pd
+
+        pp = self._pruned_plan(ast, cols)
+        if pp is None or pp == "empty":
+            return None
+        geom = {
+            (self.field(n).meta.get("segment_size"),
+             self.field(n).meta.get("shard_size"))
+            for n, _ in cols
+        }
+        if len(geom) != 1:
+            return None  # mis-aligned shard geometry → exhaustive
+
+        shift = 1 << self._FIELD_SHIFT
+        parts = []
+        for fi, (name, _w) in enumerate(cols):
+            tids = pp["raw_tids"][fi]
+            if not tids:
+                continue
+            parts.append(
+                self.field(name).postings
+                .filter(F.col("term_id").isin([int(t) for t in tids]))
+                .withColumn(
+                    "term_id",
+                    (F.col("term_id") + F.lit((fi + 1) * shift)).cast("long"),
+                )
+            )
+        if not parts:
+            return None
+        blocks = parts[0]
+        for p in parts[1:]:
+            blocks = blocks.unionByName(p)
+        blocks = blocks.withColumn("shard", F.shiftright("block_id", 24))
+
+        info = self.spark.sparkContext.broadcast({
+            "groups": pp["groups"],
+            "mode": pp["mode"],
+            "neg_tids": pp["neg_tids"],
+            "df_by_tid": pp["df_by_tid"],
+            "stats_by_field": pp["stats_by_field"],
+            "tombs": pp["tombs"],
+            "shift_bits": self._FIELD_SHIFT,
+            "k": k,
+        })
+
+        def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from groonga_spark.wand import SegmentQueryKernel, TermPostings
+
+            v = info.value
+            out_empty = pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            })
+            by_tid = {}
+            for tid, g in pdf.groupby("term_id"):
+                tid = int(tid)
+                fi = (tid >> v["shift_bits"]) - 1
+                by_tid[tid] = TermPostings(
+                    g, v["df_by_tid"][tid], v["tombs"][fi],
+                    v["stats_by_field"][fi]
+                )
+            groups = []
+            for g in v["groups"]:
+                members = [(t, w) for t, w in g["members"] if t in by_tid]
+                if members:
+                    groups.append({"kind": "or", "members": members,
+                                   "post": None})
+                elif v["mode"] == "and":
+                    return out_empty  # leaf matches no field in this shard
+            if not groups:
+                return out_empty
+            neg = [t for t in v["neg_tids"] if t in by_tid]
+            kern = SegmentQueryKernel.from_term_postings(
+                by_tid, v["stats_by_field"][0], v["k"]
+            )
+            doc, score = kern._topk_interval_pruned(
+                groups, v["mode"], None, neg
+            )
+            return pd.DataFrame({"doc_id": doc, "score": score})
+
+        per_shard = blocks.groupBy("segment", "shard").applyInPandas(
+            _run, schema="doc_id long, score double"
+        )
+        return per_shard.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k)
 
     def match_docs(self, query: str,
                    match_columns: str | None = None) -> DataFrame:
@@ -297,11 +453,20 @@ class MultiFieldIndex:
                k: int = 10) -> DataFrame:
         """BM25F top-k → (doc_id, score), (score desc, doc_id asc).
 
-        Eligible shapes run the interval-pruned kernel (driver-local, one
-        call, block-max pruning with per-field bounds); the rest fall
-        back to the exhaustive leaf-level algebra + global sort."""
-        got = self._pruned_topk(parse_query(query),
-                                self._cols(match_columns), k)
+        Eligible shapes run the interval-pruned kernel — driver-local
+        for small posting volumes, per-(segment, shard) on the cluster
+        past the driver cap (field layouts share shard boundaries, so
+        one shard group holds every field's blocks for its doc range);
+        remaining shapes fall back to the exhaustive leaf-level algebra
+        + global sort."""
+        ast = parse_query(query)
+        cols = self._cols(match_columns)
+        got = self._pruned_topk(ast, cols, k)
+        if got == "distributed":
+            dist = self._pruned_topk_distributed(ast, cols, k)
+            if dist is not None:
+                return dist
+            got = None
         if got is not None:
             import pandas as pd
 

@@ -48,6 +48,16 @@ from groonga_spark.ql import (
 )
 from groonga_spark.score import bm25
 
+#: bench/test hook: when set to a list, pooled-path decodes append their
+#: block counts here (TermPostings.decode_idx* can be monkeypatch-spied,
+#: but the pooled TermRange paths never construct TermPostings)
+_DECODE_SPY: list | None = None
+
+
+def _spy_decodes(n: int) -> None:
+    if _DECODE_SPY is not None:
+        _DECODE_SPY.append(int(n))
+
 
 class TermPostings:
     """Decoded postings of one term within one segment.
@@ -383,6 +393,7 @@ class SegmentQueryKernel:
         sub = self._range_sub(lo, hi)
         if not len(sub):
             return empty
+        _spy_decodes(len(sub))
         nd = sub["n_docs"].to_numpy(np.int64)
         doc = _segmented_cumsum(
             vb_decode(b"".join(sub["doc_deltas"])).astype(np.int64), nd
@@ -1012,6 +1023,7 @@ class SegmentQueryKernel:
         def _decode_new(new: np.ndarray) -> None:
             if not len(new):
                 return
+            _spy_decodes(len(new))
             nd_n = nd[new]
             doc = _segmented_cumsum(
                 vb_decode(b"".join(deltas_col[new])).astype(np.int64), nd_n

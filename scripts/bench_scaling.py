@@ -214,9 +214,43 @@ def write_bench_md(r: dict) -> None:
             lines.append(
                 f"| local[{c}] | {v['build_s']} | {v['build_docs_per_sec']} |"
                 f" {v.get('n_observed', 1)} |")
+    if any(v.get("finalize_s") for v in r["levels"].values()):
+        lines += [
+            "", "Phase attribution (Amdahl analysis — where the serial",
+            "fraction lives; segments = stage-1 shard jobs, finalize =",
+            "lexicon dense ids + postings merge + doc_map + driver-side",
+            "metadata, lexicon_ids ⊂ finalize):", "",
+            "| cores | segments s | finalize s | lexicon_ids s |"
+            " finalize share |",
+            "|---|---|---|---|---|",
+        ]
+        for c, v in sorted(r["levels"].items(), key=lambda kv: int(kv[0])):
+            fin = v.get("finalize_s") or 0.0
+            share = round(100.0 * fin / v["build_s"], 1) if v["build_s"] else 0
+            lines.append(
+                f"| local[{c}] | {v.get('segments_s')} | {fin} |"
+                f" {v.get('lexicon_ids_s')} | {share}% |"
+            )
     lines += ["", "Scaling efficiency, single-ladder (thr_hi / ((hi/lo)·thr_lo)):", ""]
     for pair, e in r["efficiency"].items():
         lines.append(f"- {pair} cores: **{e}**")
+    if any(v.get("finalize_s") for v in r["levels"].values()):
+        def _phase_eff(key, lo, hi):
+            # efficiency = (t_lo / t_hi) / (hi/lo): 1.0 = perfect scaling
+            a, b = r["levels"].get(lo, {}), r["levels"].get(hi, {})
+            if not (a.get(key) and b.get(key)):
+                return None
+            return round(a[key] / b[key] / (hi / lo), 3)
+        g = r.get("gate_N_to_4N", {})
+        if g:
+            lo, hi = [int(x.strip("local[] ")) for x in
+                      g["pair"].split(" vs ")]
+            se = _phase_eff("segments_s", lo, hi)
+            fe = _phase_eff("finalize_s", lo, hi)
+            lines.append(
+                f"- phase efficiency {lo}→{hi}: segments "
+                f"**{se}**, finalize **{fe}** (speedup/(hi/lo))"
+            )
     if "gate_N_to_4N" in r:
         g = r["gate_N_to_4N"]
         lines.append(
@@ -228,11 +262,12 @@ def write_bench_md(r: dict) -> None:
     extra = ""
     if os.path.exists(path):
         old = open(path).read()
-        if "<!-- bench_wand:begin -->" in old:
-            extra = ("\n" + "<!-- bench_wand:begin -->"
-                     + old.split("<!-- bench_wand:begin -->")[1]
-                     .split("<!-- bench_wand:end -->")[0]
-                     + "<!-- bench_wand:end -->" + "\n")
+        for mark in ("bench_wand", "bench_prefix"):
+            begin, end = f"<!-- {mark}:begin -->", f"<!-- {mark}:end -->"
+            if begin in old:
+                extra += ("\n" + begin
+                          + old.split(begin)[1].split(end)[0]
+                          + end + "\n")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + extra)
 

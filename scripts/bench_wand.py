@@ -106,14 +106,19 @@ def main() -> None:
                 _c["blocks"] += len(idx_arr)
                 return _o(self, idx_arr)
 
+            import groonga_spark.wand as _W
+
+            pooled: list = []
             TermPostings.decode_idx = spy
             TermPostings.decode_idx_split = spy_split
+            _W._DECODE_SPY = pooled  # pooled TermRange decodes
             try:
                 out = fn()
             finally:
                 TermPostings.decode_idx = orig
                 TermPostings.decode_idx_split = orig_split
-            return out, counts["blocks"]
+                _W._DECODE_SPY = None
+            return out, counts["blocks"] + sum(pooled)
 
         # warm + rank-identity safety check
         (pr_doc, pr_sco), blk_pruned = spy_decodes(lambda: kernel().run(ast))
@@ -198,14 +203,19 @@ def _bench_multifield(spark, corpus: str, args) -> dict:
             _c["blocks"] += len(idx_arr)
             return _o(self, idx_arr)
 
+        import groonga_spark.wand as _W
+
+        pooled: list = []
         TermPostings.decode_idx = spy
         TermPostings.decode_idx_split = spy_split
+        _W._DECODE_SPY = pooled
         try:
             out = fn()
         finally:
             TermPostings.decode_idx = orig
             TermPostings.decode_idx_split = orig_split
-        return out, counts["blocks"]
+            _W._DECODE_SPY = None
+        return out, counts["blocks"] + sum(pooled)
 
     results = {}
     shapes = [

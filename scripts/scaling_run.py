@@ -43,10 +43,40 @@ def main() -> None:
     warm_up(spark)
 
     idx_path = tempfile.mkdtemp(prefix=f"gs_scale_{cores}_")
+
+    # phase attribution for the Amdahl analysis (BENCH.md): wrap the two
+    # coarse phases of build_index — stage-1 segment jobs (the parallel
+    # bulk) and finalize (lexicon dense ids + postings merge + doc_map,
+    # with driver-side metadata ops) — so the ladder reports where the
+    # serial fraction lives, not just the total
+    import groonga_spark.build as _B
+
+    phase = {}
+    _orig_fin = _B.finalize_index
+    _orig_ids = _B.assign_dense_ids
+
+    def _timed_fin(*a, **kw):
+        t0 = time.time()
+        out = _orig_fin(*a, **kw)
+        phase["finalize_s"] = round(time.time() - t0, 2)
+        return out
+
+    def _timed_ids(*a, **kw):
+        t0 = time.time()
+        out = _orig_ids(*a, **kw)
+        phase["lexicon_ids_s"] = round(
+            phase.get("lexicon_ids_s", 0.0) + time.time() - t0, 2
+        )
+        return out
+
+    _B.finalize_index = _timed_fin
+    _B.assign_dense_ids = _timed_ids
     try:
         t0 = time.time()
         build_index(spark, docs, idx_path, mode="delimit", resume=False)
         build_s = time.time() - t0
+        _B.finalize_index = _orig_fin
+        _B.assign_dense_ids = _orig_ids
 
         idx = FulltextIndex(spark, idx_path)
         idx.search("table", k=10).collect()  # warm
@@ -68,6 +98,11 @@ def main() -> None:
                     "n_docs": n_docs,
                     "build_s": round(build_s, 2),
                     "build_docs_per_sec": round(n_docs / build_s, 1),
+                    "segments_s": round(
+                        build_s - phase.get("finalize_s", 0.0), 2
+                    ),
+                    "finalize_s": phase.get("finalize_s"),
+                    "lexicon_ids_s": phase.get("lexicon_ids_s"),
                     "query_total_s": round(query_total_s, 2),
                     "query_times": q_times,
                 },

@@ -86,3 +86,17 @@ def test_highlight_matches_sequential_spec(spark):
            .collect()}
     for i, t in enumerate(rows):
         assert got[i] == _highlight_ref(t, ["spark", "&"]), (i, t)
+
+
+def test_rand(spark):
+    """rand() ∈ [0,1); rand(max) ∈ [0,max) as long; seeded form is
+    reproducible on a fixed partitioning (the only form tests may use)."""
+    from groonga_spark.functions import rand
+
+    df = spark.range(0, 200, 1, 2)  # fixed partitioning for determinism
+    a = [r["r"] for r in df.select(rand(seed=42).alias("r")).collect()]
+    b = [r["r"] for r in df.select(rand(seed=42).alias("r")).collect()]
+    assert a == b
+    assert all(0.0 <= x < 1.0 for x in a)
+    m = [r["m"] for r in df.select(rand(6, seed=7).alias("m")).collect()]
+    assert set(m) <= set(range(6)) and len(set(m)) > 1

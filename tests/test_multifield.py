@@ -225,3 +225,26 @@ def test_multifield_pruned_ineligible_shapes(built):
     assert built._pruned_topk(
         parse_query("(spark OR merge) table"), cols, 10
     ) is None
+
+
+@pytest.mark.parametrize("q,mc", [
+    ("spark merge", "title*10||body"),
+    ("spark -slow", "title||body"),
+    ("spark OR stream", "title*3||body"),
+])
+def test_multifield_pruned_distributed_matches_local(q, mc, built):
+    """The cluster-scale pruned path (per-(segment, shard) kernels over
+    the unioned field postings + global top-k merge) must equal the
+    driver-local pruned kernel exactly — shards partition doc space, so
+    per-shard scores are the global scores restricted to the range."""
+    from groonga_spark.ql import parse_query
+
+    cols = built._cols(mc)
+    ast = parse_query(q)
+    local = built._pruned_topk(ast, cols, 10)
+    assert isinstance(local, tuple)
+    dist = built._pruned_topk_distributed(ast, cols, 10)
+    assert dist is not None
+    got = [(r["doc_id"], r["score"]) for r in dist.collect()]
+    assert [d for d, _ in got] == local[0].tolist(), (q, mc)
+    assert [s for _, s in got] == local[1].tolist(), (q, mc)
