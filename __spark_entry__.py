@@ -862,6 +862,14 @@ def q_ft_prefix_hot(spark, sf):
             .select("doc_id"))
 
 
+def q_ft_phrase_or_and(spark, sf):
+    """`table ("spark fast" OR merge)` — a phrase INSIDE an OR inside an
+    AND: the disjunct-group shape the interval pruner covers (round 3);
+    correctness here via the exhaustive-path oracle comparison."""
+    return (_index(spark, sf).match_docs('table ("spark fast" OR merge)')
+            .select("doc_id"))
+
+
 # -- weighted multi-field match (match_columns / BM25F) ---------------------
 
 _MF_CACHE: dict[str, object] = {}
@@ -987,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "prefix_rk": q_prefix_rk,
         "ft_prefix_hot": q_ft_prefix_hot,
+        "ft_phrase_or_and": q_ft_phrase_or_and,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1306,6 +1315,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE 't' || lpad(doc_id::VARCHAR, 6, '0') LIKE 't0000%'
               AND 'anchor' || (doc_id % 3)::VARCHAR <> 'anchor1'""",
+        "ft_phrase_or_and": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'table')
+              AND (' ' || text || ' ' LIKE '% spark fast %'
+                   OR list_contains(string_split(text, ' '), 'merge'))""",
         # same katakana corpus derived from doc ids; romaji 'ni' → ニ
         "prefix_rk": """
             WITH k AS (SELECT doc_id,

@@ -262,7 +262,7 @@ def write_bench_md(r: dict) -> None:
     extra = ""
     if os.path.exists(path):
         old = open(path).read()
-        for mark in ("bench_wand", "bench_prefix"):
+        for mark in ("bench_wand", "bench_prefix", "bench_codec"):
             begin, end = f"<!-- {mark}:begin -->", f"<!-- {mark}:end -->"
             if begin in old:
                 extra += ("\n" + begin

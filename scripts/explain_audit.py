@@ -49,6 +49,16 @@ def main() -> None:
     audit("postings_term_scan", blocks,
           ["PushedFilters: [In(term_id", "Scan parquet"])
 
+    # 1b. TermRange postings scan: the prefix plan must push a RANGE
+    # predicate (BETWEEN → GreaterThanOrEqual/LessThanOrEqual) to the
+    # parquet scan — never a member IN-list (round 3; term_id-sorted
+    # files make this row-group pruning, Iceberg partition pruning in
+    # prod)
+    rng_pred = (F.col("term_id") >= 3) & (F.col("term_id") <= 17)
+    audit("postings_range_scan", idx.postings.filter(rng_pred),
+          ["GreaterThanOrEqual(term_id,3)", "LessThanOrEqual(term_id,17)",
+           "Scan parquet"])
+
     # 2. documents filter: predicate + column pruning
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
     q = docs.filter("lang = 'en' AND n_chars > 300").select("doc_id")
@@ -110,7 +120,20 @@ def main() -> None:
                      ["(MUST NOT contain CartesianProduct / "
                       "BroadcastNestedLoopJoin)"]))
 
-    out = ["# PLANS — physical-plan audit (round 2)", "",
+    # 8b. distributed BM25F pruned top-k (round 3): per-shard
+    # FlatMapGroupsInPandas over the unioned field postings (term_id
+    # IN pushed per field), global TakeOrderedAndProject merge
+    from groonga_spark.ql import parse_query
+
+    dmf = mf._pruned_topk_distributed(
+        parse_query("spark merge"), mf._cols("title*3||body"), 10
+    )
+    if dmf is not None:
+        audit("multifield_distributed_pruned", dmf,
+              ["FlatMapGroupsInPandas", "TakeOrderedAndProject",
+               "PushedFilters: [In(term_id"])
+
+    out = ["# PLANS — physical-plan audit (round 3)", "",
            f"Input: {SF}. Each section lists the REQUIRED plan properties",
            "and the full `.explain('formatted')` output. Regenerate with",
            "`python scripts/explain_audit.py`.", ""]
