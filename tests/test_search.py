@@ -668,19 +668,22 @@ def test_pruned_path_fuzz_random_queries(spark, tmp_path):
     def rand_leaf():
         r = rng.random()
         t = rng.choice(vocab + ["zzznope"])
-        if r < 0.45:
+        if r < 0.4:
             return t
-        if r < 0.6:
+        if r < 0.52:
             return f'"{t} {rng.choice(vocab)}"'
-        if r < 0.72:
+        if r < 0.64:
             return f'*N{rng.randrange(1, 8)}"{t} {rng.choice(vocab)}"'
-        if r < 0.86:
+        if r < 0.76:
             return f"({t} OR {rng.choice(vocab)})"
         # phrase/near INSIDE an OR (disjunct groups under an AND parent)
-        if r < 0.94:
+        if r < 0.84:
             return f'({t} OR "{rng.choice(vocab)} {rng.choice(vocab)}")'
-        return (f'({t} OR *N{rng.randrange(2, 6)}'
-                f'"{rng.choice(vocab)} {rng.choice(vocab)}")')
+        if r < 0.92:
+            return (f'({t} OR *N{rng.randrange(2, 6)}'
+                    f'"{rng.choice(vocab)} {rng.choice(vocab)}")')
+        # QL prefix → TermRange leaf (pooled/enumerated range paths)
+        return t[: rng.randrange(1, 3)] + "*"
 
     def rand_query():
         n = rng.randrange(1, 4)
@@ -698,7 +701,7 @@ def test_pruned_path_fuzz_random_queries(spark, tmp_path):
         ast = idx._expand_ast(parse_query(q))
         plan = idx._plan(ast)
         pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
-        if pdf is None or not plan["needed_tids"]:
+        if pdf is None or not (plan["needed_tids"] or plan["tid_ranges"]):
             continue
         k = rng.choice([1, 3, 10, 50])
         kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
@@ -753,7 +756,7 @@ def test_pruned_path_fuzz_bigram_cjk(spark, tmp_path):
         ast = idx._expand_ast(parse_query(q))
         plan = idx._plan(ast)
         pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
-        if pdf is None or not plan["needed_tids"]:
+        if pdf is None or not (plan["needed_tids"] or plan["tid_ranges"]):
             continue
         k = rng.choice([1, 5, 20])
         kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
