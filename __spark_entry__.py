@@ -740,6 +740,16 @@ def q_ft_bigram(spark, sf):
     return _cjk_index(spark, sf).match_docs(query).select("doc_id")
 
 
+def q_ft_bigram_prefix(spark, sf):
+    """CJK prefix on a bigram index: `日*`-style — the lexicon predictive
+    cursor ORs the posting lists of every bigram/unigram token starting
+    with the char (grn_ii_select EX_PREFIX; round-3 TermRange plan), so
+    it matches exactly the docs whose text CONTAINS the char anywhere
+    (bigram start mid-word, trailing unigram at word end)."""
+    return (_cjk_index(spark, sf).match_docs(chr(0x4E00 + 7) + "*")
+            .select("doc_id"))
+
+
 # -- token filters (stop_word + stem-lite) ----------------------------------
 
 FILTERED_MODE = "delimit|stop:the,a,of,and,to,in,is,it|stem"
@@ -1009,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": q_curation,
         # bigram-mode flagship tokenizer (driver-graded)
         "ft_bigram": q_ft_bigram,
+        "ft_bigram_prefix": q_ft_bigram_prefix,
         # weighted multi-field match (match_columns / BM25F)
         "ft_multifield": q_ft_multifield,
         # token filters (stop_word + stem-lite)
@@ -1564,6 +1575,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(
                 words,
                 chr(19969) || chr(19974) || chr(19979) || chr(19984))""",
+        # same CJK corpus; prefix on a bigram lexicon ≡ docs whose text
+        # contains the char anywhere (bigram-start or trailing-unigram)
+        "ft_bigram_prefix": """
+            WITH cjk AS (
+              SELECT doc_id,
+                     list_transform(range(doc_id % 4 + 2),
+                        w -> chr((19968 + (doc_id*7 + w*13) % 97)::INT)
+                          || chr((19968 + (doc_id*7 + w*13 + 5) % 97)::INT)
+                          || chr((19968 + (doc_id*7 + w*13 + 10) % 97)::INT)
+                          || chr((19968 + (doc_id*7 + w*13 + 15) % 97)::INT))
+                       AS words
+              FROM documents)
+            SELECT doc_id FROM cjk
+            WHERE len(list_filter(words,
+                                  w -> contains(w, chr(19975)))) > 0""",
         "ann_lsh": _ann_lsh_sql(cos),
         "index_lineage": f"""
             WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKS})),

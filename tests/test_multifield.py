@@ -248,3 +248,41 @@ def test_multifield_pruned_distributed_matches_local(q, mc, built):
     got = [(r["doc_id"], r["score"]) for r in dist.collect()]
     assert [d for d, _ in got] == local[0].tolist(), (q, mc)
     assert [s for _, s in got] == local[1].tolist(), (q, mc)
+
+
+def test_multifield_pruned_fuzz(built):
+    """Fuzz: random eligible shapes × random column specs — the pruned
+    BM25F kernel must match the exhaustive DataFrame algebra bit-for-bit
+    every time."""
+    import random
+
+    from groonga_spark.ql import parse_query
+
+    rng = random.Random(23)
+    vocab = ["spark", "merge", "table", "scan", "stream", "window",
+             "fast", "slow", "index", "query", "vector", "join",
+             "zzznope"]
+    specs = ["title*10||body", "title||body", "title*3||body",
+             "body", "title", "body*2||title"]
+    checked = 0
+    for _ in range(40):
+        n = rng.randrange(1, 4)
+        parts = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5 and n > 1:
+            q = " OR ".join(parts)
+        else:
+            q = " ".join(parts)
+            if rng.random() < 0.4:
+                q += f" -{rng.choice(vocab)}"
+        mc = rng.choice(specs)
+        got = built._pruned_topk(parse_query(q), built._cols(mc), 10)
+        assert got is not None and not isinstance(got, str), (q, mc)
+        exh = [
+            (r["doc_id"], r["score"])
+            for r in built.match_docs(q, match_columns=mc)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+        ]
+        assert got[0].tolist() == [d for d, _ in exh], (q, mc)
+        assert got[1].tolist() == [s for _, s in exh], (q, mc)
+        checked += 1
+    assert checked == 40
