@@ -543,6 +543,17 @@ def q_geo_funcs(spark, sf):
     )
 
 
+def q_contamination(spark, sf):
+    """Train/test contamination: docs sharing any 13-gram with the
+    benchmark sample (doc_id % 37 == 0 texts) — broadcast hash semi-join
+    on the benchmark's distinct n-grams, one shuffle (per-doc agg)."""
+    from groonga_spark.dedup import contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return contamination(docs, bench, n=13)
+
+
 def q_dedup_exact(spark, sf):
     from groonga_spark.dedup import exact_dup_groups
 
@@ -1008,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_or_and": q_ft_phrase_or_and,
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
+        "contamination": q_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1518,6 +1530,18 @@ def oracle_sql() -> dict[str, str]:
         "json_props": """
             SELECT event_id, json_extract_string(props, '$.k') AS k
             FROM events""",
+        "contamination": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            grams AS (SELECT doc_id,
+                             unnest(list_transform(range(len(w) - 12),
+                               i -> array_to_string(w[i+1:i+13], ' '))) AS g
+                      FROM toks WHERE len(w) >= 13),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            hits AS (SELECT DISTINCT d.doc_id, d.g
+                     FROM grams d JOIN bench USING (g))
+            SELECT doc_id, count(*)::BIGINT AS n_contaminated_ngrams
+            FROM hits GROUP BY doc_id""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
                    min(doc_id) AS keep_id

@@ -304,3 +304,44 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     pairs = F.zip_with(F.split(a, ""), F.split(b, ""),
                        lambda x, y: (x != y).cast("int"))
     return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v)
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination (train/test n-gram overlap)
+# --------------------------------------------------------------------------
+
+def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Docs sharing any word n-gram with a benchmark/eval set — the
+    standard train-test contamination check an LLM data pipeline runs
+    before training (n=13 is the common convention). The reference has
+    no such operator; this extends the engine like the dedup family.
+
+    Spark-first shape: the benchmark side is small by construction (eval
+    sets), so its DISTINCT n-grams broadcast; the corpus side stays a
+    narrow codegen map (explode n-grams → xxhash64) into a broadcast
+    hash join keyed on the 8-byte hash with the shingle string as an
+    equality residual (hash collisions can't produce false positives,
+    and the join key stays fixed-width at 10^12-doc scale). One shuffle
+    total (the per-doc aggregation).
+
+    → (doc_id, n_contaminated_ngrams), docs with ≥1 shared n-gram.
+    """
+    corpus = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    corpus = corpus.withColumn("_h", F.xxhash64("shingle"))
+    bench = (
+        shingles(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col(bench_text_col).alias("text"),
+            ),
+            n=n,
+        )
+        .select("shingle").distinct()
+        .withColumn("_h", F.xxhash64("shingle"))
+    )
+    hits = corpus.join(F.broadcast(bench), ["_h", "shingle"], "inner")
+    return hits.groupBy(F.col("doc_id")).agg(
+        F.count_distinct("shingle").alias("n_contaminated_ngrams")
+    )

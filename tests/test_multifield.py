@@ -286,3 +286,18 @@ def test_multifield_pruned_fuzz(built):
         assert got[1].tolist() == [s for _, s in exh], (q, mc)
         checked += 1
     assert checked == 40
+
+
+def test_multifield_search_routes_distributed(built, monkeypatch):
+    """When posting volume exceeds the driver cap, search() routes to the
+    per-shard cluster kernel and still returns the exact pruned answer."""
+    from groonga_spark.search import FulltextIndex
+
+    want = [(r["doc_id"], r["score"]) for r in
+            built.search("spark merge", match_columns="title*10||body",
+                         k=10).collect()]
+    monkeypatch.setattr(FulltextIndex, "DRIVER_QUERY_MAX_BYTES", 1)
+    got = [(r["doc_id"], r["score"]) for r in
+           built.search("spark merge", match_columns="title*10||body",
+                        k=10).collect()]
+    assert got == want

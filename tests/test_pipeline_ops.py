@@ -293,3 +293,30 @@ def test_embedding_dups_lsh_recall_vs_brute(spark):
     assert len(planted) >= 90                # the fixture actually planted
     recall = len(lsh & planted) / len(planted)
     assert recall >= 0.95, recall
+
+
+def test_contamination(spark):
+    """Benchmark n-gram overlap: exact semantics on hand-built cases +
+    the broadcast-hash-join plan shape (no shuffle on the corpus side
+    before the join)."""
+    from groonga_spark.dedup import contamination
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"),      # shares the 6-gram c..h
+         (1, "x y z w v u t s"),      # clean
+         (2, "c d e f g h i j"),      # shares c..h
+         (3, "a b c"),                # too short for n=6
+         (4, "c d e f g h c d e f g h")],  # shares it twice (count 1 distinct)
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("c d e f g h q r",), ("nothing here overlaps at all ok",)],
+        "text string",
+    )
+    out = contamination(docs, bench, n=6)
+    got = {r["doc_id"]: r["n_contaminated_ngrams"] for r in out.collect()}
+    assert got == {0: 1, 2: 1, 4: 1}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
