@@ -554,6 +554,25 @@ def q_contamination(spark, sf):
     return contamination(docs, bench, n=13)
 
 
+def q_canonical_urls(spark, sf):
+    """URL canonicalization over a deterministically derived crawl-URL
+    set (mixed-case host, :80 port, utm tracking params, fragment) —
+    pure Column algebra; the oracle computes the expected canonical form
+    closed-form from doc_id."""
+    from groonga_spark.extract import canonical_url
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTP://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Path"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=s"), (F.col("doc_id") % 2).cast("string"),
+        F.lit("&id="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"), F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", canonical_url(url).alias("canonical_url"))
+
+
 def q_dedup_exact(spark, sf):
     from groonga_spark.dedup import exact_dup_groups
 
@@ -1020,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "dedup_exact": q_dedup_exact,
         "contamination": q_contamination,
+        "canonical_urls": q_canonical_urls,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1530,6 +1550,12 @@ def oracle_sql() -> dict[str, str]:
         "json_props": """
             SELECT event_id, json_extract_string(props, '$.k') AS k
             FROM events""",
+        "canonical_urls": """
+            SELECT doc_id,
+                   'http://example' || (doc_id % 7)::VARCHAR || '.com/Path'
+                   || (doc_id % 3)::VARCHAR || '/' || doc_id::VARCHAR
+                   || '?id=' || (doc_id % 5)::VARCHAR AS canonical_url
+            FROM documents""",
         "contamination": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),

@@ -34,3 +34,42 @@ def extract_text_series(html_col: pd.Series) -> pd.Series:
     s = html_col.map(lambda b: b.decode("utf-8") if b is not None else "")
     blocks = s.str.findall(_P_RE)
     return blocks.map(lambda ms: "\n".join(_html.unescape(m) for m in ms))
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (pipeline helper for url-keyed dedup)
+# --------------------------------------------------------------------------
+
+def canonical_url(col):
+    """Canonical form of a URL for dedup / latest-per-url grouping
+    (prepare_pages partitions by url; crawls carry the same page under
+    trivially-different URLs). Pure Column algebra (codegen, no UDF):
+
+    - scheme and host lowercase (path/query case preserved — it is
+      significant on most servers);
+    - fragment stripped (never sent to the server);
+    - tracking params dropped (utm_*, fbclid, gclid);
+    - default ports stripped (:80 http, :443 https);
+    - empty leftover '?' and dangling '&' cleaned up.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.regexp_replace(col, r"#.*$", "")                    # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    # drop tracking params wherever they sit in the query string
+    rest = F.regexp_replace(rest, r"([?&])(utm_[^=&]*|fbclid|gclid)=[^&]*", "$1")
+    rest = F.regexp_replace(rest, r"&&+", "&")      # a=1&&b=2 → a=1&b=2
+    rest = F.regexp_replace(rest, r"\?&", "?")      # ?&x=1 → ?x=1
+    rest = F.regexp_replace(rest, r"[?&]+$", "")    # trailing ? / &
+    return F.concat(scheme, F.lit("://"), host, rest)

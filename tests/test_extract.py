@@ -32,3 +32,28 @@ def test_determinism_across_calls():
     a = gen_pages(100, seed=42)
     b = gen_pages(100, seed=42)
     assert a == b
+
+
+def test_canonical_url(spark):
+    """URL canonicalization for url-keyed dedup: lowercase scheme/host,
+    fragment stripped, tracking params dropped, default ports removed,
+    path/query case preserved."""
+    from pyspark.sql import functions as F
+
+    from groonga_spark.extract import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM/Path?a=1#frag", "http://example.com/Path?a=1"),
+        ("https://Site.org:443/x?utm_source=t&b=2",
+         "https://site.org/x?b=2"),
+        ("http://h.com:80/p?utm_a=1&utm_b=2", "http://h.com/p"),
+        ("http://h.com/p?a=1&fbclid=xyz&b=2", "http://h.com/p?a=1&b=2"),
+        ("http://h.com/p?gclid=q", "http://h.com/p"),
+        ("https://h.com:8443/p", "https://h.com:8443/p"),  # non-default port
+        ("http://h.com/CaseSensitive/Path", "http://h.com/CaseSensitive/Path"),
+        ("http://h.com/p#a#b", "http://h.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
