@@ -37,6 +37,8 @@ QUERIES = [
     ("q_phrase", '"spark fast"'),
     ("q_prefix", "s*"),          # TermRange root → pooled-block pruner
     ("q_prefix_and", "s* table"),  # range as an AND child
+    # phrase inside an OR inside an AND → disjunct groups (round 3)
+    ("q_phrase_or", '(merge OR "spark fast") table'),
 ]
 
 MARK_BEGIN = "<!-- bench_wand:begin -->"

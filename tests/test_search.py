@@ -925,3 +925,39 @@ def test_prefix_on_ngram_index_is_lexicon_or(spark, tmp_path):
                for tok, _ in tokenize_str(normalize_str(t), "bigram"))
     }
     assert got == want and got == {0, 1, 3}
+
+
+def test_prefix_range_respects_tombstones(spark, tmp_path):
+    """Deleted docs must vanish from TermRange results on BOTH pooled
+    paths (exhaustive _eval_range and the pruned top-k) — the pooled
+    decode masks tombstones without per-term frames."""
+    rows = [(i, f"q{i:03d} shared") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_rng_tomb")
+    build_index(spark, docs, path, mode="delimit", segment_size=1000,
+                shard_size=64)
+    idx = FulltextIndex(spark, path)
+    before = {r["doc_id"] for r in idx.match_docs("q0*").collect()}
+    assert before == set(range(100))
+    idx.delete_docs([3, 7, 42, 99])
+
+    after = {r["doc_id"] for r in idx.match_docs("q0*").collect()}
+    assert after == before - {3, 7, 42, 99}
+    topk = [r["doc_id"] for r in
+            idx.search("q0*", 300, use_cache=False).collect()]
+    assert set(topk) == after
+    # pruned kernel agrees with the exhaustive kernel under tombstones
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    ast = idx._expand_ast(parse_query("q0*"))
+    plan = idx._plan(ast)
+    pdf = idx._local_blocks([], plan, force=True)
+    kern = SegmentQueryKernel(pdf, plan, idx._stats(), 20)
+    kern.PRUNE_MIN_BLOCKS = 0
+    pr = kern._pruned_multi(ast)
+    want = _topk(*SegmentQueryKernel(pdf, plan, idx._stats(), 20).eval(ast),
+                 20)
+    assert pr is not None
+    assert (pr[0] == want[0]).all() and (pr[1] == want[1]).all()
+    assert not set(pr[0].tolist()) & {3, 7, 42, 99}
