@@ -692,7 +692,8 @@ def build_index(
     # modes silently corrupt the index (same lexicon, different token
     # streams). mode=None adopts the index's recorded mode.
     if resume and os.path.exists(store.meta_path):
-        recorded_mode = store.read_meta().get("tokenizer_mode")
+        recorded = store.read_meta()
+        recorded_mode = recorded.get("tokenizer_mode")
         if mode is None:
             mode = recorded_mode
         elif recorded_mode is not None and mode != recorded_mode:
@@ -701,6 +702,14 @@ def build_index(
                 f"{recorded_mode!r} but mode={mode!r} was requested; "
                 "pass mode=None to adopt it, or resume=False to rebuild"
             )
+        # segment/shard GEOMETRY is frozen at index creation: a resumed
+        # build that cuts different doc ranges would overwrite one
+        # segment dir with another's range and ORPHAN the old files —
+        # committed partials then double-count into the lexicon/postings
+        # (silent corruption, not an error). Adopt the recorded values;
+        # changing geometry requires resume=False.
+        segment_size = int(recorded.get("segment_size", segment_size))
+        shard_size = int(recorded.get("shard_size", shard_size))
     if mode is None:
         mode = "delimit"
 

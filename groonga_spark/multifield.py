@@ -105,6 +105,34 @@ def build_multifield_index(
     return {"manifest": manifest, "fields": metas}
 
 
+def append_multifield(spark: SparkSession, docs: DataFrame, path: str,
+                      id_col: str = "doc_id") -> dict:
+    """Bring EVERY field index under ``path`` up to date with ``docs``
+    (the full current table) — the repair path for the command facade's
+    ``load`` → ``index_stale`` flag. Per-field streaming.append_docs
+    (each field adopts its recorded tokenizer mode); only segments with
+    new docs rebuild, so a micro-batch append costs O(batch), not
+    O(corpus). The append contract (new, monotonically growing doc ids)
+    applies per field; open handles pick the change up via their
+    generation check."""
+    from groonga_spark.streaming import append_docs
+
+    with open(os.path.join(path, MANIFEST)) as fh:
+        man = json.load(fh)
+    out = {}
+    for f in man["fields"]:
+        out[f] = append_docs(
+            spark,
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.coalesce(F.col(f), F.lit("")).alias("text"),
+            ),
+            os.path.join(path, "fields", f),
+            mode=None,
+        )
+    return out
+
+
 class MultiFieldIndex:
     """Query handle over a build_multifield_index layout."""
 

@@ -211,3 +211,39 @@ def test_resume_mode_mismatch_guard(spark, docs, tmp_path):
     idx = FulltextIndex(spark, path)
     assert idx.meta["tokenizer_mode"] == "delimit|stop:the"
     assert idx.meta["n_docs"] == docs.count()
+
+
+def test_resume_adopts_segment_geometry(spark, tmp_path):
+    """A resumed/appending build must cut the SAME doc ranges as the
+    original: before this guard, append_docs with default segment_size
+    over an index built with a smaller one re-cut the corpus, overwrote
+    segment 0 with everything, orphaned the old segment files — and the
+    orphans double-counted into the lexicon (silent corruption)."""
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.streaming import append_docs
+
+    rows0 = [(i, f"alpha w{i % 5}") for i in range(120)]
+    docs0 = spark.createDataFrame(rows0, "doc_id long, text string")
+    path = str(tmp_path / "idx_geom")
+    build_index(spark, docs0, path, mode="delimit", segment_size=64)
+
+    rows1 = rows0 + [(i, f"gamma w{i % 5}") for i in range(120, 160)]
+    docs1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    # note: NO segment_size passed — the recorded geometry must be adopted
+    meta = append_docs(spark, docs1, path)
+    assert meta["segment_size"] == 64
+    assert meta["n_docs"] == 160
+
+    idx = FulltextIndex(spark, path)
+    import pyarrow.dataset as ds
+
+    lex = {
+        t: d for t, d in zip(
+            *(ds.dataset(idx.store.p("lexicon"), format="parquet")
+              .to_table(columns=["term", "df"]).column(c).to_pylist()
+              for c in ("term", "df"))
+        )
+    }
+    assert lex["alpha"] == 120 and lex["gamma"] == 40  # no double counting
+    assert idx.match_docs("alpha").count() == 120
+    assert idx.match_docs("gamma").count() == 40

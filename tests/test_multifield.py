@@ -301,3 +301,40 @@ def test_multifield_search_routes_distributed(built, monkeypatch):
            built.search("spark merge", match_columns="title*10||body",
                         k=10).collect()]
     assert got == want
+
+
+def test_append_multifield(spark, tmp_path):
+    """Incremental multifield maintenance: append new docs → per-field
+    segment appends; an OPEN handle sees the new docs (generation check)
+    and results equal a from-scratch rebuild bit-for-bit."""
+    from groonga_spark.multifield import append_multifield
+
+    rows0 = [(i, f"alpha w{i % 5}", f"beta alpha z{i % 3}")
+             for i in range(120)]
+    df0 = spark.createDataFrame(rows0, "doc_id long, title string, body string")
+    path = str(tmp_path / "mf_app")
+    build_multifield_index(spark, df0, path, ["title", "body"],
+                           mode="delimit", segment_size=64)
+    handle = MultiFieldIndex(spark, path)
+    before = {r["doc_id"] for r in
+              handle.match_docs("alpha", match_columns="title||body")
+              .collect()}
+    assert before == set(range(120))
+
+    rows1 = rows0 + [(i, f"gamma w{i % 5}", f"alpha delta z{i % 3}")
+                     for i in range(120, 160)]
+    df1 = spark.createDataFrame(rows1, "doc_id long, title string, body string")
+    append_multifield(spark, df1, path)
+
+    got = [(r["doc_id"], r["score"]) for r in
+           handle.search("alpha", match_columns="title*2||body", k=200)
+           .collect()]
+    fresh_path = str(tmp_path / "mf_fresh")
+    build_multifield_index(spark, df1, fresh_path, ["title", "body"],
+                           mode="delimit", segment_size=64)
+    want = [(r["doc_id"], r["score"]) for r in
+            MultiFieldIndex(spark, fresh_path)
+            .search("alpha", match_columns="title*2||body", k=200)
+            .collect()]
+    assert got == want
+    assert {d for d, _ in got} == set(range(160))
