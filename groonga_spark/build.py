@@ -662,11 +662,11 @@ def build_index(
     docs: DataFrame,
     path: str,
     mode: str | None = "delimit",
-    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    segment_size: int | None = None,
     salt_target: int | None = None,
     resume: bool = True,
     fail_after_segments: int | None = None,
-    shard_size: int = DEFAULT_SHARD_SIZE,
+    shard_size: int | None = None,
     max_concurrent_segments: int = 3,
     append_only: bool = False,
 ) -> dict:
@@ -706,12 +706,29 @@ def build_index(
         # build that cuts different doc ranges would overwrite one
         # segment dir with another's range and ORPHAN the old files —
         # committed partials then double-count into the lexicon/postings
-        # (silent corruption, not an error). Adopt the recorded values;
-        # changing geometry requires resume=False.
-        segment_size = int(recorded.get("segment_size", segment_size))
-        shard_size = int(recorded.get("shard_size", shard_size))
+        # (silent corruption, not an error). None adopts the recorded
+        # values; an EXPLICIT conflicting value is a hard error (same
+        # contract as tokenizer_mode); changing geometry needs
+        # resume=False.
+        for pname, req in (("segment_size", segment_size),
+                           ("shard_size", shard_size)):
+            rec = recorded.get(pname)
+            if req is not None and rec is not None and int(req) != int(rec):
+                raise ValueError(
+                    f"index at {path} was built with {pname}={rec} but "
+                    f"{pname}={req} was requested; pass {pname}=None to "
+                    "adopt it, or resume=False to rebuild"
+                )
+        if recorded.get("segment_size") is not None:
+            segment_size = int(recorded["segment_size"])
+        if recorded.get("shard_size") is not None:
+            shard_size = int(recorded["shard_size"])
     if mode is None:
         mode = "delimit"
+    if segment_size is None:
+        segment_size = DEFAULT_SEGMENT_SIZE
+    if shard_size is None:
+        shard_size = DEFAULT_SHARD_SIZE
 
     bounds = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     if bounds[0] is None:

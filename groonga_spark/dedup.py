@@ -323,12 +323,18 @@ def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     narrow codegen map (explode n-grams → xxhash64) into a broadcast
     hash join keyed on the 8-byte hash with the shingle string as an
     equality residual (hash collisions can't produce false positives,
-    and the join key stays fixed-width at 10^12-doc scale). One shuffle
-    total (the per-doc aggregation).
+    and the join key stays fixed-width at 10^12-doc scale). The only
+    shuffles run AFTER the join, over the (small) hit set — the per-doc
+    distinct-count aggregation; the exploded corpus n-grams never
+    shuffle.
 
     → (doc_id, n_contaminated_ngrams), docs with ≥1 shared n-gram.
     """
-    corpus = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # distinct=False: the per-doc count_distinct below already dedups,
+    # and a distinct() here would shuffle the ENTIRE exploded n-gram set
+    # before the broadcast join — the corpus side must stay a narrow map
+    corpus = shingles(docs, n=n, text_col=text_col, id_col=id_col,
+                      distinct=False)
     corpus = corpus.withColumn("_h", F.xxhash64("shingle"))
     bench = (
         shingles(

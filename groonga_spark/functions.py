@@ -88,11 +88,46 @@ def snippet_udf(keywords: list[str], width: int = 100, max_n: int = 3,
         f"{_regex_repl_escape(open_tag)}\\g<0>{_regex_repl_escape(close_tag)}"
         if (open_tag or close_tag) else None
     )
+    # the vectorized scan admits EVERY occurrence position; finditer (the
+    # sequential spec) yields only non-overlapping matches. The two agree
+    # unless some keyword occurrence can START inside another match:
+    # either a proper suffix of k1 is a prefix of k2 (k2 straddles k1's
+    # end) or k2 sits wholly inside k1 past position 0. Detect once; fall
+    # back to the sequential scan when overlap is possible.
+    overlap_possible = any(
+        (k1[i:] == k2[: len(k1) - i] if len(k1) - i <= len(k2)
+         else k2 == k1[i : i + len(k2)])
+        for k1 in kws for k2 in kws
+        for i in range(1, len(k1))
+    )
+
+    def _one_sequential(text):
+        if text is None:
+            return []
+        out = []
+        last_end = -1
+        for m in pat.finditer(text):
+            if len(out) >= max_n:
+                break
+            lo = max(0, m.start() - width // 2)
+            hi = min(len(text), lo + width)
+            if lo <= last_end:
+                continue
+            frag = text[lo:hi]
+            if open_tag or close_tag:
+                frag = pat.sub(
+                    lambda mm: f"{open_tag}{mm.group(0)}{close_tag}", frag
+                )
+            out.append(frag)
+            last_end = hi
+        return out
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _snip(s: pd.Series) -> pd.Series:
         import numpy as np
 
+        if overlap_possible:
+            return s.map(_one_sequential)
         text = s.fillna("")
         lower = text.str.lower()
         n = text.str.len().to_numpy(np.int64)

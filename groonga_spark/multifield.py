@@ -302,7 +302,8 @@ class MultiFieldIndex:
             "sum_df": sum_df,
         }
 
-    def _pruned_topk(self, ast, cols: list[tuple[str, float]], k: int):
+    def _pruned_topk(self, ast, cols: list[tuple[str, float]], k: int,
+                     pp=None):
         """BM25F top-k through the interval pruner — ONE kernel call over
         members drawn from every field's postings, each member carrying
         its field's stats/weight, instead of scoring every hit of every
@@ -316,13 +317,14 @@ class MultiFieldIndex:
 
         Returns (doc_ids, scores); "distributed" when the shape is
         eligible but the posting volume is above the driver-local cap
-        (route to _pruned_topk_distributed); None when the shape isn't
-        eligible — callers fall back to the exhaustive evaluator."""
+        (route to _pruned_topk_distributed, passing ``pp`` to avoid
+        re-planning); None when the shape isn't eligible — callers fall
+        back to the exhaustive evaluator."""
         import numpy as np
 
         from groonga_spark.wand import SegmentQueryKernel, TermPostings
 
-        pp = self._pruned_plan(ast, cols)
+        pp = pp if pp is not None else self._pruned_plan(ast, cols)
         if pp is None:
             return None
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
@@ -375,7 +377,7 @@ class MultiFieldIndex:
         return kern._topk_interval_pruned(groups, pp["mode"], None, neg_tids)
 
     def _pruned_topk_distributed(self, ast, cols: list[tuple[str, float]],
-                                 k: int) -> DataFrame | None:
+                                 k: int, pp=None) -> DataFrame | None:
         """Cluster-scale BM25F pruned top-k: union every field's
         term_id-pruned postings (tids remapped into the field namespace),
         group by (segment, shard) — field layouts share shard boundaries
@@ -387,7 +389,7 @@ class MultiFieldIndex:
         fallback."""
         import pandas as pd
 
-        pp = self._pruned_plan(ast, cols)
+        pp = pp if pp is not None else self._pruned_plan(ast, cols)
         if pp is None or pp == "empty":
             return None
         geom = {
@@ -489,9 +491,10 @@ class MultiFieldIndex:
         + global sort."""
         ast = parse_query(query)
         cols = self._cols(match_columns)
-        got = self._pruned_topk(ast, cols, k)
+        pp = self._pruned_plan(ast, cols)
+        got = self._pruned_topk(ast, cols, k, pp=pp) if pp is not None else None
         if got == "distributed":
-            dist = self._pruned_topk_distributed(ast, cols, k)
+            dist = self._pruned_topk_distributed(ast, cols, k, pp=pp)
             if dist is not None:
                 return dist
             got = None

@@ -31,6 +31,23 @@ from groonga_spark.tokenize import tokenize_str
 from groonga_spark.wand import SegmentQueryKernel
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Exclusive upper bound of the prefix range [p, succ(p)): increment
+    the last codepoint (codepoint order == UTF-8 byte order), SKIPPING
+    the surrogate gap (U+D7FF + 1 would be a lone surrogate — pyarrow
+    raises encoding it). None → no finite bound (all-U+10FFFF prefix);
+    callers fall back to enumeration."""
+    p = prefix
+    while p and ord(p[-1]) >= 0x10FFFF:
+        p = p[:-1]
+    if not p:
+        return None
+    nxt = ord(p[-1]) + 1
+    if 0xD800 <= nxt <= 0xDFFF:
+        nxt = 0xE000
+    return p[:-1] + chr(nxt)
+
+
 def _bounded_levenshtein(a: str, b: str, bound: int) -> int | None:
     """Edit distance if ≤ bound else None (banded DP, early exit)."""
     if abs(len(a) - len(b)) > bound:
@@ -138,12 +155,9 @@ class FulltextIndex:
         import pyarrow.dataset as ds
 
         f = ds.field("term") >= prefix
-        # exclusive upper bound: increment the last non-U+10FFFF codepoint
-        p = prefix
-        while p and ord(p[-1]) >= 0x10FFFF:
-            p = p[:-1]
-        if p:
-            f = f & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
+        ub = _prefix_upper_bound(prefix)
+        if ub is not None:
+            f = f & (ds.field("term") < ub)
         dset = ds.dataset(self.store.p("lexicon"), format="parquet")
         tbl = dset.to_table(columns=["term"], filter=f)
         terms = sorted(
@@ -170,14 +184,10 @@ class FulltextIndex:
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
-        f = ds.field("term") >= prefix
-        p = prefix
-        while p and ord(p[-1]) >= 0x10FFFF:
-            p = p[:-1]
-        if p:
-            f = f & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
-        else:
+        ub = _prefix_upper_bound(prefix)
+        if ub is None:
             return None  # degenerate all-U+10FFFF prefix: enumerate instead
+        f = (ds.field("term") >= prefix) & (ds.field("term") < ub)
         dset = ds.dataset(self.store.p("lexicon"), format="parquet")
         tbl = dset.to_table(columns=["term_id", "df"], filter=f)
         n = tbl.num_rows
@@ -209,11 +219,9 @@ class FulltextIndex:
             f = None
             if pfx:
                 f = ds.field("term") >= pfx
-                p = pfx
-                while p and ord(p[-1]) >= 0x10FFFF:
-                    p = p[:-1]
-                if p:
-                    f = f & (ds.field("term") < p[:-1] + chr(ord(p[-1]) + 1))
+                ub = _prefix_upper_bound(pfx)
+                if ub is not None:
+                    f = f & (ds.field("term") < ub)
             dset = ds.dataset(self.store.p("lexicon"), format="parquet")
             tbl = dset.to_table(columns=["term"], filter=f)
             cands = [

@@ -389,21 +389,14 @@ def select(
         if drop_flags:
             df = df.drop(*drop_flags)
 
-    # -- stage: columns[filtered]
-    for name, spec in (columns or {}).items():
-        if spec.get("stage") == "filtered":
-            df = _dynamic_column(df, name, spec)
-
-    if post_filter:
-        df = df.filter(F.expr(script_to_sql(post_filter)))
-
     if scorer is not None:
-        # --scorer '_score = <script expr>' [G: select scorer parameter;
-        # grn_expr executed per record on the POST-selection match set —
-        # after filter/post_filter, before sort/drilldowns — so a filter
-        # referencing _score sees the ORIGINAL match score, exactly
-        # grn_select's documented evaluation order]: reassign (or adjust,
-        # e.g. '_score = _score + n_likes') via Catalyst
+        # --scorer '_score = <script expr>' [G: select scorer parameter]:
+        # grn_select's documented evaluation order is filter → scorer →
+        # columns[filtered] → post_filter → sort/output — so a FILTER
+        # referencing _score sees the ORIGINAL match score, while
+        # POST_FILTER sees the scorer-updated one (SURVEY.md §3.1).
+        # Reassign (or adjust, e.g. '_score = _score + n_likes') via
+        # Catalyst.
         m = re.match(r"\s*_score\s*=\s*(.+)$", scorer)
         if not m:
             raise ValueError(f"scorer must look like '_score = <expr>': "
@@ -411,6 +404,14 @@ def select(
         df = df.withColumn(
             "_score", F.expr(script_to_sql(m.group(1))).cast("double")
         )
+
+    # -- stage: columns[filtered]
+    for name, spec in (columns or {}).items():
+        if spec.get("stage") == "filtered":
+            df = _dynamic_column(df, name, spec)
+
+    if post_filter:
+        df = df.filter(F.expr(script_to_sql(post_filter)))
 
     # Cache only when >1 consumer will actually read the base plan
     # (n_hits count + drilldowns/slices/hits). Pipeline use can pass

@@ -25,11 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from groonga_spark.build import (
-    DEFAULT_SEGMENT_SIZE,
-    DEFAULT_SHARD_SIZE,
-    build_index,
-)
+from groonga_spark.build import build_index
 
 
 def append_docs(
@@ -37,8 +33,8 @@ def append_docs(
     all_docs: DataFrame,
     path: str,
     mode: str | None = None,
-    segment_size: int = DEFAULT_SEGMENT_SIZE,
-    shard_size: int = DEFAULT_SHARD_SIZE,
+    segment_size: int | None = None,
+    shard_size: int | None = None,
 ) -> dict:
     """Bring the index at ``path`` up to date with ``all_docs``.
 
@@ -63,8 +59,8 @@ def stream_build(
     index_path: str,
     checkpoint_path: str,
     mode: str = "delimit",
-    segment_size: int = DEFAULT_SEGMENT_SIZE,
-    shard_size: int = DEFAULT_SHARD_SIZE,
+    segment_size: int | None = None,
+    shard_size: int | None = None,
 ):
     """writeStream.foreachBatch pipeline: append each micro-batch to the
     corpus parquet, then incrementally extend the index.

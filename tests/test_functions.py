@@ -74,6 +74,26 @@ def test_snippet_matches_sequential_spec(spark, width, max_n, tags):
         assert got[i] == want, (i, t)
 
 
+def test_snippet_self_overlapping_keywords(spark):
+    """Keywords whose occurrences can overlap (finditer yields only
+    NON-overlapping matches) must still match the sequential spec —
+    the UDF detects the border and falls back to the per-row scan."""
+    from groonga_spark.functions import snippet_udf
+
+    rows = ["x aaaaa", "aaaa b aaaa", "", "no hits", "aabcabc abc"]
+    for kws, width, max_n in [(["aa"], 2, 3), (["abc", "b"], 6, 2),
+                              (["ab", "ba"], 4, 3)]:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                                   "i long, text string")
+        snip = snippet_udf(kws, width=width, max_n=max_n)
+        got = {r["i"]: list(r["snips"])
+               for r in df.select("i", snip(F.col("text")).alias("snips"))
+               .collect()}
+        for i, t in enumerate(rows):
+            assert got[i] == _snippet_ref(t, kws, width, max_n, "", ""), \
+                (kws, i, t)
+
+
 def test_highlight_matches_sequential_spec(spark):
     from groonga_spark.functions import highlight_html_udf
 

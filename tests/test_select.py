@@ -300,6 +300,19 @@ def test_scorer_runs_after_filter(spark, tmp_path):
     assert len(rows) == n_matches
     assert all(r["_score"] == 0.0 for r in rows)
 
+    # …while POST_FILTER sees the scorer-updated score (filter → scorer
+    # → post_filter): scorer pins every score to 5, so '_score > 4'
+    # keeps everything and '_score > 5' keeps nothing
+    with select(docs, index=idx, query="spark", scorer="_score = 5",
+                post_filter="_score > 4", limit=-1,
+                output_columns=["doc_id", "_score"],
+                need_hit_count=False) as res2:
+        assert len(res2.hits.collect()) == n_matches
+    with select(docs, index=idx, query="spark", scorer="_score = 5",
+                post_filter="_score > 5", limit=-1,
+                output_columns=["doc_id"], need_hit_count=False) as res3:
+        assert res3.hits.count() == 0
+
 
 def test_match_columns_needs_multifield(spark, tmp_path):
     """match_columns= with a single-field index raises a clear error
