@@ -23,10 +23,6 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MARK_BEGIN = "<!-- bench_codec:begin -->"
-MARK_END = "<!-- bench_codec:end -->"
-
-
 def _bench_stream(name: str, blocks: list[np.ndarray], repeat: int = 5):
     from groonga_spark.codec import (
         pfor_decode,
@@ -145,7 +141,6 @@ def main() -> None:
 
 def _append_bench_md(out: dict) -> None:
     lines = [
-        MARK_BEGIN,
         "",
         "## Codec: varbyte vs PForDelta (block streams)",
         "",
@@ -164,18 +159,10 @@ def _append_bench_md(out: dict) -> None:
             f" {r['pfor_dec_Mvals_s']} | {r['vb_enc_Mvals_s']} |"
             f" {r['pfor_enc_Mvals_s']} |"
         )
-    lines += ["", MARK_END]
-    section = "\n".join(lines)
-    path = os.path.join(REPO, "BENCH.md")
-    text = open(path).read() if os.path.exists(path) else "# BENCH\n"
-    if MARK_BEGIN in text:
-        pre = text.split(MARK_BEGIN)[0]
-        post = text.split(MARK_END)[-1]
-        text = pre + section + post
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(path, "w") as f:
-        f.write(text)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from benchlib import splice_marked_section
+
+    splice_marked_section("bench_codec", lines)
 
 
 if __name__ == "__main__":

@@ -26,10 +26,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MARK_BEGIN = "<!-- bench_prefix:begin -->"
-MARK_END = "<!-- bench_prefix:end -->"
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--match", type=int, default=20_000)
@@ -109,7 +105,6 @@ def _time(fn) -> float:
 
 def _append_bench_md(out: dict) -> None:
     lines = [
-        MARK_BEGIN,
         "",
         f"## Hot-prefix cost vs lexicon size (`{out['hot_prefix']}` "
         f"matching {out['rows'][0]['prefix_matches']:,} terms, "
@@ -126,18 +121,10 @@ def _append_bench_md(out: dict) -> None:
         lines.append(
             f"| {r['lexicon_terms']:,} | {r['plan_s']} | {r['query_s']} |"
         )
-    lines += ["", MARK_END]
-    section = "\n".join(lines)
-    path = os.path.join(REPO, "BENCH.md")
-    text = open(path).read() if os.path.exists(path) else "# BENCH\n"
-    if MARK_BEGIN in text:
-        pre = text.split(MARK_BEGIN)[0]
-        post = text.split(MARK_END)[-1]
-        text = pre + section + post
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(path, "w") as f:
-        f.write(text)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from benchlib import splice_marked_section
+
+    splice_marked_section("bench_prefix", lines)
 
 
 if __name__ == "__main__":

@@ -259,15 +259,11 @@ def write_bench_md(r: dict) -> None:
         )
     path = os.path.join(REPO, "BENCH.md")
     # preserve bench_wand's marked section across rewrites
+    from benchlib import extract_marked_sections
+
     extra = ""
     if os.path.exists(path):
-        old = open(path).read()
-        for mark in ("bench_wand", "bench_prefix", "bench_codec"):
-            begin, end = f"<!-- {mark}:begin -->", f"<!-- {mark}:end -->"
-            if begin in old:
-                extra += ("\n" + begin
-                          + old.split(begin)[1].split(end)[0]
-                          + end + "\n")
+        extra = extract_marked_sections(open(path).read())
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + extra)
 

@@ -41,10 +41,6 @@ QUERIES = [
     ("q_phrase_or", '(merge OR "spark fast") table'),
 ]
 
-MARK_BEGIN = "<!-- bench_wand:begin -->"
-MARK_END = "<!-- bench_wand:end -->"
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=400)
@@ -95,32 +91,7 @@ def main() -> None:
         def kernel():
             return SegmentQueryKernel(pdf, plan, stats, args.k)
 
-        def spy_decodes(fn):
-            counts = {"blocks": 0}
-            orig = TermPostings.decode_idx
-            orig_split = TermPostings.decode_idx_split
-
-            def spy(self, idx_arr, _c=counts, _o=orig):
-                _c["blocks"] += len(idx_arr)
-                return _o(self, idx_arr)
-
-            def spy_split(self, idx_arr, _c=counts, _o=orig_split):
-                _c["blocks"] += len(idx_arr)
-                return _o(self, idx_arr)
-
-            import groonga_spark.wand as _W
-
-            pooled: list = []
-            TermPostings.decode_idx = spy
-            TermPostings.decode_idx_split = spy_split
-            _W._DECODE_SPY = pooled  # pooled TermRange decodes
-            try:
-                out = fn()
-            finally:
-                TermPostings.decode_idx = orig
-                TermPostings.decode_idx_split = orig_split
-                _W._DECODE_SPY = None
-            return out, counts["blocks"] + sum(pooled)
+        from benchlib import spy_decodes
 
         # warm + rank-identity safety check
         (pr_doc, pr_sco), blk_pruned = spy_decodes(lambda: kernel().run(ast))
@@ -192,32 +163,7 @@ def _bench_multifield(spark, corpus: str, args) -> dict:
               file=sys.stderr)
     mf = MultiFieldIndex(spark, mf_path)
 
-    def spy_decodes(fn):
-        counts = {"blocks": 0}
-        orig = TermPostings.decode_idx
-        orig_split = TermPostings.decode_idx_split
-
-        def spy(self, idx_arr, _c=counts, _o=orig):
-            _c["blocks"] += len(idx_arr)
-            return _o(self, idx_arr)
-
-        def spy_split(self, idx_arr, _c=counts, _o=orig_split):
-            _c["blocks"] += len(idx_arr)
-            return _o(self, idx_arr)
-
-        import groonga_spark.wand as _W
-
-        pooled: list = []
-        TermPostings.decode_idx = spy
-        TermPostings.decode_idx_split = spy_split
-        _W._DECODE_SPY = pooled
-        try:
-            out = fn()
-        finally:
-            TermPostings.decode_idx = orig
-            TermPostings.decode_idx_split = orig_split
-            _W._DECODE_SPY = None
-        return out, counts["blocks"] + sum(pooled)
+    from benchlib import spy_decodes
 
     results = {}
     shapes = [
@@ -276,7 +222,6 @@ def _time(fn) -> float:
 
 def _append_bench_md(out: dict) -> None:
     lines = [
-        MARK_BEGIN,
         "",
         "## Multi-term block-max WAND pruning "
         f"({out['n_docs']:,}-doc index, k={out['k']})",
@@ -319,18 +264,9 @@ def _append_bench_md(out: dict) -> None:
                 f" {r['blocks_pruned_path']}/{r['blocks_exhaustive']} |"
                 f" {r['blocks_skipped_pct']}% |"
             )
-    lines += ["", MARK_END]
-    section = "\n".join(lines)
-    path = os.path.join(REPO, "BENCH.md")
-    text = open(path).read() if os.path.exists(path) else "# BENCH\n"
-    if MARK_BEGIN in text:
-        pre = text.split(MARK_BEGIN)[0]
-        post = text.split(MARK_END)[-1]
-        text = pre + section + post
-    else:
-        text = text.rstrip() + "\n\n" + section + "\n"
-    with open(path, "w") as f:
-        f.write(text)
+    from benchlib import splice_marked_section
+
+    splice_marked_section("bench_wand", lines)
 
 
 if __name__ == "__main__":
