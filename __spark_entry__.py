@@ -582,9 +582,16 @@ def q_dedup_exact(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    from groonga_spark.dedup import ngram_jaccard_pairs
+    """Exact n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin
+    — round 3): identical output to the classic all-shingle self-join
+    (the same DuckDB oracle verifies it), but the candidate join runs
+    over rarest-first prefix tokens only, so corpus-wide head shingles
+    can't explode a bucket."""
+    from groonga_spark.dedup import ngram_jaccard_pairs_prefix
 
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
+    return ngram_jaccard_pairs_prefix(
+        _t(spark, sf, "documents"), n=3, threshold=0.5
+    )
 
 
 def q_minhash_lsh(spark, sf):

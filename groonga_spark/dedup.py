@@ -351,3 +351,81 @@ def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     return hits.groupBy(F.col("doc_id")).agg(
         F.count_distinct("shingle").alias("n_contaminated_ngrams")
     )
+
+
+def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3,
+                               threshold: float = 0.5,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. 2007 — public literature): same output as
+    ngram_jaccard_pairs, WITHOUT the head-shingle self-join skew.
+
+    Under a global rarest-first shingle order, two sets with
+    J(a,b) ≥ t MUST share a token within each set's first
+    ``|s| − ⌈t·|s|⌉ + 1`` tokens (the prefix-filtering lemma) — so the
+    candidate self-join runs over PREFIX tokens only, which are by
+    construction the rarest (head shingles fall outside every long
+    doc's prefix; the quadratic bucket problem disappears). Candidates
+    also pass the length filter ``t·|a| ≤ |b|``; exact intersections
+    are then counted only for candidate pairs.
+
+    Shuffles: shingle-df agg, per-doc rank (doc-bounded window), the
+    prefix self-join (rare keys), and the pair-restricted verify join —
+    all linear in data moved, none quadratic in a bucket."""
+    sh = shingles(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    ranked = (
+        sh.join(sdf, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("sdf", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+        # prefix length L = |s| − ⌈t·|s|⌉ + 1
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "shingle", "sz")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # length filter: J ≥ t ⇒ t·|a| ≤ |b| and t·|b| ≤ |a|
+        .filter(
+            (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+        )
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verify on candidates only: count shared shingles per pair
+    s1 = sh.withColumnRenamed("doc_id", "d1")
+    s2 = sh.withColumnRenamed("doc_id", "d2")
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+    )
+    from groonga_spark.cacheutil import track
+
+    return track(out, [sh])

@@ -320,3 +320,65 @@ def test_contamination(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_prefix_equals_classic(spark, docs):
+    """Prefix-filtered exact Jaccard (AllPairs/PPJoin) must return the
+    IDENTICAL pair set + scores as the classic all-shingle self-join —
+    the prefix-filtering lemma guarantees no candidate is lost."""
+    from groonga_spark.cacheutil import release
+    from groonga_spark.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for t in (0.3, 0.5, 0.8):
+        classic = ngram_jaccard_pairs(docs, n=3, threshold=t)
+        pref = ngram_jaccard_pairs_prefix(docs, n=3, threshold=t)
+        got_c = sorted((r["d1"], r["d2"], r["jaccard"])
+                       for r in classic.collect())
+        got_p = sorted((r["d1"], r["d2"], r["jaccard"])
+                       for r in pref.collect())
+        release(classic)
+        release(pref)
+        assert got_c == got_p, t
+
+
+def test_ngram_jaccard_prefix_skips_head_shingles(spark):
+    """The candidate join must exclude a corpus-wide head shingle from
+    every long doc's prefix (rarest-first order) — the skew killer."""
+    import random
+
+    rng = random.Random(5)
+    # every doc shares the head trigram "the same head"; tails differ
+    rows = [
+        (d, "the same head " + " ".join(
+            f"w{rng.randrange(1000)}" for _ in range(20)))
+        for d in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from groonga_spark.cacheutil import release
+    from groonga_spark.dedup import ngram_jaccard_pairs_prefix, shingles
+
+    from pyspark.sql import functions as F
+
+    out = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5)
+    pairs = out.collect()
+    release(out)
+    assert pairs == []  # tails all differ → no pair reaches 0.5
+
+    # and the head shingle is in NO doc's prefix (all docs are long)
+    sh = shingles(docs, 3)
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        sh.join(sdf, "shingle")
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("doc_id").orderBy("sdf", "shingle")))
+        .join(sh.groupBy("doc_id").agg(F.count("*").alias("sz")), "doc_id")
+        .filter(F.col("rk") <= F.col("sz")
+                - F.ceil(F.lit(0.5) * F.col("sz")) + 1)
+    )
+    head_in_prefix = ranked.filter(F.col("shingle") == "the same head").count()
+    assert head_in_prefix == 0
