@@ -327,3 +327,47 @@ def test_match_columns_needs_multifield(spark, tmp_path):
     idx = FulltextIndex(spark, path)
     with pytest.raises(ValueError, match="match_columns"):
         select(docs, index=idx, query="spark", match_columns="title||body")
+
+
+def test_script_to_sql_literal_preservation_property():
+    """Property: string literals pass through script_to_sql VERBATIM
+    (modulo the match-op value's quote normalization) no matter what
+    operator soup surrounds or fills them."""
+    import random
+
+    from groonga_spark.select import _lex_script
+
+    rng = random.Random(99)
+    ops = ["&&", "||", "==", "!", "@", "@^", "@~", "in_values(", ")"]
+    fillers = ["a", "b7", "x_y", " ", "1"]
+
+    def rand_literal(q):
+        body = "".join(rng.choice(ops + fillers) for _ in range(rng.randrange(0, 6)))
+        body = body.replace(q, "")  # no quote-in-quote (escapes tested elsewhere)
+        return f"{q}{body}{q}"
+
+    for _ in range(200):
+        parts = []
+        lits = []
+        for _ in range(rng.randrange(1, 6)):
+            if rng.random() < 0.5:
+                q = rng.choice(["'", '"'])
+                lit = rand_literal(q)
+                lits.append(lit)
+                parts.append(lit)
+            else:
+                parts.append(rng.choice(["a == 1", "b && c", "x || !y",
+                                         "n > 3", "f(", ")"]))
+        expr = " ".join(parts)
+        out = script_to_sql(expr)
+        # every literal that is NOT a match-op value must appear verbatim
+        toks = _lex_script(expr)
+        for i, (kind, text) in enumerate(toks):
+            if kind != "str":
+                continue
+            prev = toks[i - 1][1] if i and toks[i - 1][0] == "code" else ""
+            import re as _re
+            if _re.search(r"[A-Za-z_][A-Za-z0-9_.]*\s*(@\^|@\$|@~|@)\s*$",
+                          prev):
+                continue  # match-op value: quotes may normalize
+            assert text in out, (expr, text, out)
