@@ -507,7 +507,7 @@ def finalize_index(
     # final postings: attach term_id + df. No score column is stored:
     # every block already carries (max_tf, min_dl), and the query kernel
     # derives the block-max WAND bound from those + df at query time
-    # (score.block_upper_bound) — bounds stay valid under incremental
+    # (score.block_upper_bounds) — bounds stay valid under incremental
     # appends (stats move) and the merge stays pure JVM I/O (no Arrow
     # round-trip through Python).
 

@@ -26,6 +26,18 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def vb_nbytes(values: np.ndarray) -> np.ndarray:
+    """Varbyte-encoded size in bytes of each value (shared by the block
+    slicer in postings.py and the PFor cost model — ONE copy)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = np.ones(len(v), np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        n += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return n
+
+
 def vb_encode(values: np.ndarray) -> bytes:
     """Varbyte-encode a uint64-compatible array. Fully vectorized."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
@@ -172,7 +184,7 @@ def pfor_encode(values: np.ndarray) -> bytes:
     bl = _bit_lengths(v)
     # exact cost per candidate width b (candidates = distinct bit
     # lengths: any other b is dominated by the next lower candidate)
-    idx_cost = _vb_nbytes_arr(np.arange(n, dtype=np.uint64))
+    idx_cost = vb_nbytes(np.arange(n, dtype=np.uint64))
     best_b, best_cost = None, None
     for b in sorted(set(bl.tolist()) | {int(bl.max())}):
         exc = bl > b
@@ -180,7 +192,7 @@ def pfor_encode(values: np.ndarray) -> bytes:
         cost = (n * b + 7) // 8
         if exc.any():
             cost += int(idx_cost[exc].sum())
-            cost += int(_vb_nbytes_arr(high).sum())
+            cost += int(vb_nbytes(high).sum())
         if best_cost is None or cost < best_cost:
             best_b, best_cost = b, cost
     b = int(best_b)
@@ -245,11 +257,4 @@ def pfor_decode(buf: bytes) -> np.ndarray:
     return out
 
 
-def _vb_nbytes_arr(v: np.ndarray) -> np.ndarray:
-    """Varbyte-encoded size in bytes of each value."""
-    n = np.ones(len(v), np.int64)
-    tmp = np.ascontiguousarray(v, np.uint64) >> np.uint64(7)
-    while tmp.any():
-        n += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    return n
+

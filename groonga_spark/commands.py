@@ -258,7 +258,11 @@ def _cmd_select(
             rows = dd.collect()
             cols = [[f.name, f.dataType.simpleString()]
                     for f in dd.schema.fields]
-            body.append([[len(rows)], cols, *[list(r) for r in rows]])
+            # the reference reports the TOTAL group count in the header;
+            # limit bounds rows only (same shape as [[n_hits], ...])
+            total = res.drilldown_totals[label].count() \
+                if len(rows) and label in res.drilldown_totals else len(rows)
+            body.append([[total], cols, *[list(r) for r in rows]])
     if output_type == "json":
         return json.dumps(body, default=str)
     return body

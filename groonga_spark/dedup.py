@@ -35,11 +35,6 @@ HEX = "0123456789abcdef"
 # exact dedup
 # --------------------------------------------------------------------------
 
-def content_hash(text_col) -> Column:
-    """Canonical content hash: md5 of whitespace-collapsed trimmed text."""
-    return F.md5(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
-
-
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: (content_hash, n_docs, keep_id).
@@ -47,6 +42,13 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
     ``keep_id`` = min doc id of the group — the canonical survivor. A
     plain hash aggregation: map-side partial combine makes the shuffle
     O(distinct hashes), not O(rows).
+
+    Identity = md5 of the RAW text (byte-exact duplicates). This is a
+    deliberately different contract from pipeline.curate_corpus's
+    near-dup fingerprint (textstats.doc_fingerprint collapses
+    whitespace): exact dedup must never merge texts that differ, even
+    by formatting; the curation pipeline's canonicalization is a
+    near-dup choice layered above it.
     """
     return (
         docs.select(F.md5(F.col(text_col)).alias("content_hash"),

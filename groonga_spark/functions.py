@@ -245,9 +245,13 @@ def time_classify(unit: str, col) -> Column:
 
 
 def time_classify_minute_interval(col, n: int) -> Column:
-    """Floor ts to n-minute buckets (time_classify_*_interval family)."""
+    """Floor ts to n-minute buckets (time_classify_*_interval family).
+    F.floor, NOT cast('long'): casting truncates toward zero, which
+    pushes pre-epoch timestamps one interval too LATE."""
     secs = F.unix_timestamp(col)
-    return F.timestamp_seconds((secs / (n * 60)).cast("long") * (n * 60))
+    return F.timestamp_seconds(
+        F.floor(secs / (n * 60)).cast("long") * (n * 60)
+    )
 
 
 def time_format(col, fmt: str) -> Column:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from groonga_spark.codec import BLOCK_SIZE, vb_decode, vb_encode
+from groonga_spark.codec import BLOCK_SIZE, vb_decode, vb_encode, vb_nbytes
 
 BLOCK_COLUMNS = [
     "term",
@@ -51,16 +51,6 @@ BLOCK_SCHEMA = (
 # salt occupies the high bits of block_id so blocks of one (term, segment)
 # sort by block_id == sort by doc-id range (salts are doc-contiguous).
 _SALT_SHIFT = 24
-
-
-def _vb_nbytes(v: np.ndarray) -> np.ndarray:
-    """Byte length each value will occupy under vb_encode."""
-    n = np.ones(len(v), np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        n += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    return n
 
 
 def _expand_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -172,7 +162,7 @@ def encode_partition(pdf: pd.DataFrame, segment: int,
 
     # --- one vb_encode per stream for the WHOLE partition, then slice ------
     def _slice(buf: bytes, values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
-        nb = _vb_nbytes(values)
+        nb = vb_nbytes(values)
         byte_end = np.cumsum(nb)
         byte_start_of_group = (byte_end - nb)[group_starts]
         bounds = np.append(byte_start_of_group, len(buf)).tolist()

@@ -109,10 +109,19 @@ def tokenize_query(q: str) -> list[tuple[str, str]]:
             out.append(("RPAREN", c))
             i += 1
         elif c == '"':
-            j = q.find('"', i + 1)
-            if j < 0:
-                j = n
-            out.append(("PHRASE", q[i + 1 : j]))
+            # scan to the closing quote honoring backslash escapes
+            # [G: GRN_EXPR_SYNTAX_QUERY supports \" inside phrases] —
+            # select.py's _lex_script uses the same convention
+            j = i + 1
+            buf = []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    buf.append(q[j + 1])
+                    j += 2
+                else:
+                    buf.append(q[j])
+                    j += 1
+            out.append(("PHRASE", "".join(buf)))
             i = j + 1
         elif c == "-":
             # '-' is only seen at a token start (term scans consume embedded

@@ -42,17 +42,20 @@ def bm25(
     return idf(df, n_docs) * tf / denom
 
 
-def block_upper_bound(
-    max_tf: float,
-    min_dl: float,
-    df: float,
-    n_docs: float,
+def block_upper_bounds(
+    max_tf: np.ndarray,
+    min_dl: np.ndarray,
+    idf_el,
     avgdl: float,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
-) -> float:
-    """Upper bound of any member score of a block (monotone in tf, anti-
-    monotone in dl) — the block-max WAND bound, derived at query time
-    from stored (max_tf, min_dl) so it stays valid as global stats move."""
+) -> np.ndarray:
+    """Per-block upper bound of any member score (monotone in tf, anti-
+    monotone in dl) — THE block-max WAND bound, derived at query time
+    from stored (max_tf, min_dl) so it stays valid as global stats move.
+    ``idf_el`` is a scalar (one term) or per-block array (the pooled
+    TermRange path); ×(1+1e-9) keeps the bound a STRICT upper bound
+    under float rounding — the pruned≡exhaustive contract depends on
+    every caller using THIS one formula."""
     denom = max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
-    return idf(df, n_docs) * max_tf / denom
+    return idf_el * max_tf / denom * (1.0 + 1e-9)

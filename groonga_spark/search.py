@@ -234,13 +234,18 @@ class FulltextIndex:
                 if (d := _bounded_levenshtein(t, q, max_distance)) is not None
             ]
         else:
+            # NOTE Spark's levenshtein counts UTF-16 code units — for
+            # astral-plane terms (outside the BMP) it can differ from the
+            # small-lexicon path's codepoint distance by the surrogate
+            # count; documented divergence at the size boundary.
             df = self.lexicon.select("term")
             if pfx:
                 df = df.filter(F.col("term").startswith(pfx))
             rows = (
                 df.withColumn("_d", F.levenshtein(F.col("term"), F.lit(q)))
                 .filter(F.col("_d") <= max_distance)
-                .orderBy("_d", "term").limit(max_expansions).collect()
+                # +1: detect truncation so the warning below can fire
+                .orderBy("_d", "term").limit(max_expansions + 1).collect()
             )
             scored = [(r["_d"], r["term"]) for r in rows]
         scored.sort()
@@ -249,8 +254,8 @@ class FulltextIndex:
             import warnings
 
             warnings.warn(
-                f"fuzzy_search({term!r}, {max_distance}) matched "
-                f"{len(scored)} terms; truncated to {max_expansions}"
+                f"fuzzy_search({term!r}, {max_distance}) matched more "
+                f"than {max_expansions} terms; truncated"
             )
         return out
 

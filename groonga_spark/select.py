@@ -253,10 +253,11 @@ _CALC_FNS = {
 }
 
 
-def _drilldown(df: DataFrame, spec) -> DataFrame:
+def _drilldown(df: DataFrame, spec, apply_limit: bool = True) -> DataFrame:
     """One drilldown [G: proc_select.c · drilldown exec → grn_table_group]:
     groupBy keys, _nsubrecs count, optional calc_types aggregates, own
-    filter (HAVING) / sort / limit."""
+    filter (HAVING) / sort / limit. ``apply_limit=False`` yields the
+    pre-limit group set (the facade's total-group-count header)."""
     if isinstance(spec, str):
         spec = {"keys": [spec]}
     keys = spec["keys"] if isinstance(spec["keys"], list) else [spec["keys"]]
@@ -272,7 +273,7 @@ def _drilldown(df: DataFrame, spec) -> DataFrame:
     sort = _parse_sort_keys(spec.get("sort_keys"), score_col="_nsubrecs", id_col="_key")
     if sort:
         out = out.orderBy(*sort)
-    if spec.get("limit") is not None:
+    if apply_limit and spec.get("limit") is not None:
         out = out.limit(int(spec["limit"]))
     return out
 
@@ -283,6 +284,11 @@ class SelectResult:
     n_hits: int
     drilldowns: dict = field(default_factory=dict)
     slices: dict = field(default_factory=dict)
+    #: per-label PRE-limit drilldown group sets — the reference's select
+    #: body reports the TOTAL group count in the drilldown header while
+    #: `limit` bounds only the returned rows; lazy DataFrames (count on
+    #: demand), same plan as drilldowns[label] minus the limit
+    drilldown_totals: dict = field(default_factory=dict)
     _cached: DataFrame | None = None
 
     def close(self) -> None:
@@ -355,9 +361,9 @@ def select(
             # field indexes only (a MultiFieldIndex has one per field)
             n = matches.count()
             if n <= match_escalation_threshold:
-                esc = _escalate_query(index, query)
+                esc = _escalate_ast(index, query)
                 if esc is not None:
-                    matches = index.match_docs(esc)
+                    matches = index.match_ast(esc)
         if adjuster:
             from groonga_spark.algebra import combine
 
@@ -429,15 +435,18 @@ def select(
     n_hits = base.count() if need_hit_count else -1
 
     dd = {}
+    dd_tot = {}
     if drilldowns is not None:
         if isinstance(drilldowns, (str, list)) and not isinstance(drilldowns, dict):
             specs = drilldowns if isinstance(drilldowns, list) else [drilldowns]
             for s in specs:
                 key = s if isinstance(s, str) else ",".join(s["keys"])
                 dd[key] = _drilldown(base, s)
+                dd_tot[key] = _drilldown(base, s, apply_limit=False)
         else:
             for label, s in drilldowns.items():
                 dd[label] = _drilldown(base, s)
+                dd_tot[label] = _drilldown(base, s, apply_limit=False)
 
     sl = {}
     for label, spec in (slices or {}).items():
@@ -478,23 +487,36 @@ def select(
                     ))
             hits = hits.select(*cols)
 
-    return SelectResult(hits=hits, n_hits=n_hits, drilldowns=dd, slices=sl,
+    return SelectResult(hits=hits, n_hits=n_hits, drilldowns=dd,
+                        slices=sl, drilldown_totals=dd_tot,
                         _cached=cached)
 
 
-def _escalate_query(index, query: str) -> str | None:
+def _escalate_ast(index, query: str):
     """Match escalation [G: lib/expr.c/ii.c · grn_ii_select escalation]:
     when hits ≤ threshold, relax each term to an OR over lexicon terms
-    sharing its prefix (EXACT → PARTIAL approximation). Uses the driver's
-    pyarrow lexicon range scan — zero Spark jobs."""
-    from groonga_spark.ql import parse_query, query_terms
+    sharing its prefix (EXACT → PARTIAL approximation). Uses the
+    driver's pyarrow lexicon range scan — zero Spark jobs.
+
+    Builds the relaxed query as an AST (never a string round-trip:
+    expanded LEXICON terms may contain QL metacharacters — '-', '(',
+    '"', a trailing '*' — which would re-lex as operators). A term with
+    no prefix expansion stays as itself (exact), so the escalated query
+    is never BROADER than dropping it would make it. Terms normalize
+    like any query text (NFKC+lower) before the lexicon scan."""
+    from groonga_spark.normalize import normalize_str
+    from groonga_spark.ql import And, Or, Term, parse_query, query_terms
 
     terms = query_terms(parse_query(query))
     if not terms:
         return None
     parts = []
     for t in terms:
-        expanded = index._prefix_terms(t.lower(), limit=8)
-        if expanded:
-            parts.append("(" + " OR ".join(expanded) + ")")
-    return " ".join(parts) if parts else None
+        expanded = index._prefix_terms(normalize_str(t).lower(), limit=8)
+        if len(expanded) > 1:
+            parts.append(Or([Term(x) for x in expanded]))
+        elif expanded:
+            parts.append(Term(expanded[0]))
+        else:
+            parts.append(Term(t))  # no expansion: keep the exact term
+    return parts[0] if len(parts) == 1 else And(parts)

@@ -58,7 +58,7 @@ def stream_build(
     corpus_path: str,
     index_path: str,
     checkpoint_path: str,
-    mode: str = "delimit",
+    mode: str | None = None,
     segment_size: int | None = None,
     shard_size: int | None = None,
 ):

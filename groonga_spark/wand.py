@@ -154,17 +154,15 @@ class TermPostings:
         computed at query time so they survive incremental stat drift;
         ×(1+1e-9) keeps them strict upper bounds under float rounding.
         Per-term stats (BM25F fields) take precedence."""
-        import math
+        from groonga_spark.score import block_upper_bounds, idf
 
         stats = self.stats or stats
-        max_tf = self.blocks["max_tf"].to_numpy(np.float64)
-        min_dl = self.blocks["min_dl"].to_numpy(np.float64)
-        k1, b = stats["k1"], stats["b"]
-        idf = math.log(
-            1.0 + (stats["n_docs"] - self.df + 0.5) / (self.df + 0.5)
+        return block_upper_bounds(
+            self.blocks["max_tf"].to_numpy(np.float64),
+            self.blocks["min_dl"].to_numpy(np.float64),
+            idf(self.df, stats["n_docs"]),
+            stats["avgdl"], stats["k1"], stats["b"],
         )
-        denom = max_tf + k1 * (1.0 - b + b * min_dl / stats["avgdl"])
-        return idf * max_tf / denom * (1.0 + 1e-9)
 
     def positions_arrays(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(doc_rep, pos) parallel arrays over blocks overlapping doc_ids,
@@ -542,23 +540,17 @@ class SegmentQueryKernel:
             cand = cand[np.isin(cand, tp.doc, assume_unique=True)]
         if len(cand) == 0:
             return cand, np.empty(0, np.float64)
+        # duplicated tokens in tids (e.g. "a a") score once per occurrence:
+        # one pass, weight 1 keeps the no-dup float sequence (x == 1·x)
+        from collections import Counter
+
+        c = Counter(tids)
         score = np.zeros(len(cand), np.float64)
         for t in uniq:  # fixed term-id order for float determinism
             tp = tps[t]
             ix = np.searchsorted(tp.doc, cand)
-            s = _score_arrays(tp, self.stats)
-            score += s[ix]
-        # duplicated tokens in tids (e.g. "a a") score once per occurrence
-        dup_extra = len(tids) - len(uniq)
-        if dup_extra:
-            from collections import Counter
-
-            c = Counter(tids)
-            score = np.zeros(len(cand), np.float64)
-            for t in uniq:
-                tp = tps[t]
-                ix = np.searchsorted(tp.doc, cand)
-                score += c[t] * _score_arrays(tp, self.stats)[ix]
+            s = _score_arrays(tp, self.stats)[ix]
+            score += s if c[t] == 1 else c[t] * s
         return cand, score
 
     def _eval_and(self, children) -> tuple[np.ndarray, np.ndarray]:
@@ -970,31 +962,29 @@ class SegmentQueryKernel:
         ascending-term_id block order (a doc sits in ≤1 block per term),
         reproducing _eval_range's float sequence exactly — bit-identical
         to the exhaustive path, ties and all."""
-        import math
+        from groonga_spark.score import block_upper_bounds
+        from groonga_spark.score import idf as _idf
 
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         sub = self._range_sub(lo, hi)
         if not len(sub):
             return empty
-        nblk = len(sub)
         nd = sub["n_docs"].to_numpy(np.int64)
         blo = sub["min_doc_id"].to_numpy(np.int64)
         bhi = sub["max_doc_id"].to_numpy(np.int64)
         df_blk = sub["df"].to_numpy(np.float64)
         st = self.stats
-        # per-block bounds, vectorized with per-row df (idf via math.log
-        # per unique df — bit-matches TermPostings.block_bounds)
+        # per-block bounds with per-row df: idf via math.log per UNIQUE
+        # df (bit-matches the per-term path), shared bound formula
         uniq_df, inv_df = np.unique(df_blk, return_inverse=True)
         idf_u = np.asarray(
-            [math.log(1.0 + (st["n_docs"] - d + 0.5) / (d + 0.5))
-             for d in uniq_df.tolist()], np.float64
+            [_idf(d, st["n_docs"]) for d in uniq_df.tolist()], np.float64
         )
-        max_tf = sub["max_tf"].to_numpy(np.float64)
-        min_dl = sub["min_dl"].to_numpy(np.float64)
-        denom = max_tf + st["k1"] * (
-            1.0 - st["b"] + st["b"] * min_dl / st["avgdl"]
+        ub = block_upper_bounds(
+            sub["max_tf"].to_numpy(np.float64),
+            sub["min_dl"].to_numpy(np.float64),
+            idf_u[inv_df], st["avgdl"], st["k1"], st["b"],
         )
-        ub = idf_u[inv_df] * max_tf / denom * (1.0 + 1e-9)
 
         bounds = np.unique(np.concatenate([blo, bhi + 1]))
         n_int = len(bounds) - 1

@@ -101,3 +101,17 @@ def test_cache_limit(ctx):
 def test_unknown_command(ctx):
     with pytest.raises(ValueError):
         execute(ctx, "no_such_command")
+
+
+def test_select_drilldown_total_vs_limit(ctx):
+    """The drilldown body header reports the TOTAL group count; limit
+    bounds the returned rows (the reference's select body shape)."""
+    body = execute(ctx, "select", table="Docs", limit=0,
+                   drilldowns={"langs": {"keys": ["lang"], "limit": 2,
+                                         "sort_keys": "-_nsubrecs"}})
+    dd = body[1]
+    n_langs = execute(ctx, "select", table="Docs", limit=0,
+                      drilldowns={"all": {"keys": ["lang"]}})[1][0][0]
+    assert dd[0][0] == n_langs          # header = total groups
+    assert len(dd) - 2 == 2             # rows bounded by limit
+    assert n_langs > 2

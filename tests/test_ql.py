@@ -70,3 +70,16 @@ def test_query_terms():
 
 def test_cjk_term():
     assert parse_query("日本語") == Term("日本語")
+
+
+def test_phrase_backslash_escapes():
+    """Backslash-escaped quotes (and backslashes) inside phrases — the
+    reference QL convention; must not terminate the phrase early."""
+    from groonga_spark.ql import Phrase, parse_query
+
+    p = parse_query('"say \\"hi\\""')
+    assert isinstance(p, Phrase) and p.text == 'say "hi"'
+    p2 = parse_query('"back\\\\slash"')
+    assert p2.text == "back\\slash"
+    p3 = parse_query('"unterminated')
+    assert p3.text == "unterminated"

@@ -371,3 +371,25 @@ def test_script_to_sql_literal_preservation_property():
                           prev):
                 continue  # match-op value: quotes may normalize
             assert text in out, (expr, text, out)
+
+
+def test_escalation_with_metachar_lexicon_terms(spark, tmp_path):
+    """Escalated lexicon terms may contain QL metacharacters ('-', '(',
+    trailing '*') — the AST-based escalation must match them literally
+    instead of re-lexing them as operators."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    rows = [(0, "fax one"), (1, "fa(x two"), (2, "-fay three"),
+            (3, "faz* four"), (4, "nothing here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_esc_meta")
+    build_index(spark, df, path, mode="delimit", segment_size=100)
+    idx = FulltextIndex(spark, path)
+    # 'fa' is not a lexicon term → escalates to the prefix OR over
+    # {fax, fa(x, faz*} — docs 0, 1, 3 (NOT 2: '-fay' ≠ prefix 'fa')
+    res = select(df, index=idx, query="fa",
+                 match_escalation_threshold=0, limit=-1,
+                 output_columns=["doc_id"], need_hit_count=False)
+    got = {r["doc_id"] for r in res.hits.collect()}
+    assert got == {0, 1, 3}
