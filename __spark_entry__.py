@@ -58,13 +58,15 @@ def _index(spark: SparkSession, sf_dir: str):
     from groonga_spark.search import FulltextIndex
     from groonga_spark.session import _ship_package
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark app id: a handle cached for a stopped
+    # session must not be served to a new one
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     _ship_package(spark)
     path = os.path.join(
         tempfile.gettempdir(),
-        "gs_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        "gs_idx_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
     stale = True
     meta_path = os.path.join(path, "meta.json")
@@ -73,10 +75,26 @@ def _index(spark: SparkSession, sf_dir: str):
 
         with open(meta_path) as f:
             m = _json.load(f)
-        # rebuild when the on-disk index predates the current format
-        # (max_doc_id arrived with lineage v2 / marker fingerprints)
-        stale = not (m.get("format_version") == 1 and "shard_size" in m
-                     and "max_doc_id" in m)
+        # rebuild unless the on-disk index matches the CURRENT engine
+        # contract by VALUE (a key-presence sniff served stale /tmp
+        # indexes across engine versions): format, tokenizer mode,
+        # normalizer version, and the corpus row count must all agree
+        from groonga_spark.normalize import NORMALIZER_VERSION
+
+        import duckdb as _duck
+
+        n_docs_now = _duck.sql(
+            f"SELECT count(*) FROM "
+            f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+        ).fetchone()[0]
+        stale = not (
+            m.get("format_version") == 1
+            and "shard_size" in m
+            and "max_doc_id" in m
+            and m.get("tokenizer_mode") == "delimit"
+            and m.get("normalizer_version") == NORMALIZER_VERSION
+            and m.get("n_docs") == n_docs_now
+        )
     if stale:
         import shutil as _shutil
 
@@ -711,8 +729,16 @@ sh AS (SELECT DISTINCT doc_id,
        FROM w WHERE len(w) >= 3),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
+-- mirror lsh_candidate_pairs' max_bucket=10000 skew cap (engine drops
+-- over-cap buckets; the oracle must too)
+capped AS (
+  SELECT * FROM (
+    SELECT band, bucket, count(*) OVER (PARTITION BY band, bucket) AS nb,
+           doc_id
+    FROM bands)
+  WHERE nb <= 10000),
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bands a JOIN bands b
+         FROM capped a JOIN capped b
            ON a.band = b.band AND a.bucket = b.bucket
               AND a.doc_id < b.doc_id),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -746,7 +772,9 @@ def _cjk_index(spark: SparkSession, sf_dir: str):
     from groonga_spark.build import build_index
     from groonga_spark.search import FulltextIndex
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark app id: a handle cached for a stopped
+    # session must not be served to a new one
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _CJK_CACHE:
         return _CJK_CACHE[key]
     ids = [r["doc_id"] for r in
@@ -758,7 +786,7 @@ def _cjk_index(spark: SparkSession, sf_dir: str):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     path = os.path.join(
         tempfile.gettempdir(),
-        "gs_cjk_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        "gs_cjk_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
     import shutil as _shutil
 
@@ -798,12 +826,14 @@ def _filtered_index(spark: SparkSession, sf_dir: str):
     from groonga_spark.build import build_index
     from groonga_spark.search import FulltextIndex
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark app id: a handle cached for a stopped
+    # session must not be served to a new one
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _FILT_CACHE:
         return _FILT_CACHE[key]
     path = os.path.join(
         tempfile.gettempdir(),
-        "gs_filt_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        "gs_filt_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
     import shutil as _shutil
 
@@ -840,7 +870,9 @@ def _rk_index(spark: SparkSession, sf_dir: str):
     from groonga_spark.build import build_index
     from groonga_spark.search import FulltextIndex
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark app id: a handle cached for a stopped
+    # session must not be served to a new one
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _RK_CACHE:
         return _RK_CACHE[key]
     ids = [r["doc_id"] for r in
@@ -850,7 +882,7 @@ def _rk_index(spark: SparkSession, sf_dir: str):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     path = os.path.join(
         tempfile.gettempdir(),
-        "gs_rk_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        "gs_rk_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
     import shutil as _shutil
 
@@ -881,7 +913,9 @@ def _hot_index(spark: SparkSession, sf_dir: str):
     from groonga_spark.build import build_index
     from groonga_spark.search import FulltextIndex
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark app id: a handle cached for a stopped
+    # session must not be served to a new one
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _HOT_CACHE:
         return _HOT_CACHE[key]
     ids = [r["doc_id"] for r in
@@ -890,7 +924,7 @@ def _hot_index(spark: SparkSession, sf_dir: str):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     path = os.path.join(
         tempfile.gettempdir(),
-        "gs_hot_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        "gs_hot_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
     import shutil as _shutil
 
@@ -930,7 +964,9 @@ def _mf_index(spark: SparkSession, sf_dir: str):
         build_multifield_index,
     )
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark app id: a handle cached for a stopped
+    # session must not be served to a new one
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _MF_CACHE:
         return _MF_CACHE[key]
     docs = _t(spark, sf_dir, "documents")
@@ -945,7 +981,7 @@ def _mf_index(spark: SparkSession, sf_dir: str):
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        "gs_mf_" + hashlib.md5(key.encode()).hexdigest()[:10],
+        "gs_mf_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
     import shutil as _shutil
 
@@ -1204,9 +1240,17 @@ def _minhash_sql() -> str:
     return f"""
 WITH sh AS ({_SHINGLES}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({bands})
+bands AS ({bands}),
+-- mirror lsh_candidate_pairs' skew cap: buckets over max_bucket=10000
+-- docs are dropped by the engine, so the oracle must drop them too
+capped AS (
+  SELECT * FROM (
+    SELECT band, bucket, count(*) OVER (PARTITION BY band, bucket) AS nb,
+           doc_id
+    FROM bands)
+  WHERE nb <= 10000)
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM bands a JOIN bands b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 

@@ -43,7 +43,10 @@ QUERY_SET = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    import re as _re
+
+    _m = _re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(_m.group(1)) if _m else 0.1  # label only — never crash
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -90,22 +93,33 @@ def main() -> None:
             timings[name] = round(best, 3)
             q_times.append(best)
             idx.search(q, k=10).collect()  # populate the result cache
-            t0 = time.time()
-            idx.search(q, k=10).collect()
-            cached_times.append(time.time() - t0)
+            cbest = None
+            for _ in range(2):  # same best-of-2 discipline as uncached
+                t0 = time.time()
+                idx.search(q, k=10).collect()
+                cdt = time.time() - t0
+                cbest = cdt if cbest is None else min(cbest, cdt)
+            cached_times.append(cbest)
 
         # ---- headline training-data ops ----
         from groonga_spark.dedup import minhash_lsh_pairs, simhash
         from groonga_spark.textstats import token_stats
 
+        # aggregates must TOUCH the computed columns: a bare .count()
+        # lets Catalyst prune every expression (the op would time a
+        # zero-column scan — fixed in round 3, so token_stats/simhash
+        # numbers are not comparable to earlier rounds' labels)
         t0 = time.time()
-        token_stats(docs).count()
+        token_stats(docs).agg(
+            F.sum("n_bpe_tokens"), F.count_distinct("fingerprint"),
+            F.avg("quality"),
+        ).collect()
         timings["token_stats"] = round(time.time() - t0, 3)
         t0 = time.time()
         minhash_lsh_pairs(docs).count()
         timings["minhash_lsh"] = round(time.time() - t0, 3)
         t0 = time.time()
-        simhash(docs).count()
+        simhash(docs).agg(F.count_distinct("simhash")).collect()
         timings["simhash"] = round(time.time() - t0, 3)
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -134,7 +148,7 @@ def main() -> None:
             "build_docs_per_sec": round(n_docs / build_s, 1),
             "query_p50_s": round(statistics.median(q_times), 4),
             "query_p95_s": round(sorted(q_times)[
-                max(0, int(len(q_times) * 0.95) - 1)], 4),
+                max(0, -(-len(q_times) * 95 // 100) - 1)], 4),
             "query_cached_p50_s": round(statistics.median(cached_times), 4),
             "cpus": cpus,
         }
