@@ -1034,6 +1034,21 @@ def q_multimodal_features(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- Driver-coverage rotation (round 4) -------------------------
+        # The driver's CORRECTNESS snapshot caps at 50 queries, taken in
+        # dict order.  These ten entries had no driver row in round 3
+        # (six of them never, per VERDICT.md "Next round" #1), so they
+        # come FIRST this round; long-green entries rotate to the tail.
+        "ft_bigram_prefix": q_ft_bigram_prefix,
+        "ft_multifield": q_ft_multifield,
+        "term_df_filtered": q_term_df_filtered,
+        "ann_lsh": q_ann_lsh,
+        "index_lineage": q_index_lineage,
+        "multimodal_features": q_multimodal_features,
+        "curation": q_curation,
+        "ft_bigram": q_ft_bigram,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         # fulltext core (SURVEY.md §2.9)
         "term_df": q_term_df,
         "ft_match_single": q_ft_match_single,
@@ -1089,20 +1104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "embedding_topk": q_embedding_topk,
         "embedding_dups": q_embedding_dups,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "curation": q_curation,
-        # bigram-mode flagship tokenizer (driver-graded)
-        "ft_bigram": q_ft_bigram,
-        "ft_bigram_prefix": q_ft_bigram_prefix,
-        # weighted multi-field match (match_columns / BM25F)
-        "ft_multifield": q_ft_multifield,
-        # token filters (stop_word + stem-lite)
-        "term_df_filtered": q_term_df_filtered,
-        # previously rows-only, now fully oracled
-        "ann_lsh": q_ann_lsh,
-        "index_lineage": q_index_lineage,
-        "multimodal_features": q_multimodal_features,
     }
 
 

@@ -189,18 +189,27 @@ def _cmd_delete(ctx: CommandContext, table: str, key: str | None = None,
         doomed = df.filter(F.col(id_col) == key)
     else:
         raise ValueError("delete needs key=, id= or filter=")
-    ids = [r[id_col] for r in doomed.select(id_col).collect()]
-    ctx.tables[table] = df.join(
-        doomed.select(id_col), id_col, "left_anti"
-    )
+    # Never collect the matched ids to the driver: a `delete --filter`
+    # can match billions of rows. The count comes from one aggregate;
+    # the tombstone write streams the id DataFrame from the executors.
+    doomed_ids = doomed.select(id_col)
+    n_deleted = doomed_ids.count()
+    ctx.tables[table] = df.join(doomed_ids, id_col, "left_anti")
     idx = ctx.indexes.get(table)
-    if idx is not None and hasattr(idx, "delete_docs") and ids:
-        idx.delete_docs(ids)
-    return {"n_deleted": len(ids)}
+    if idx is not None and hasattr(idx, "delete_docs") and n_deleted:
+        idx.delete_docs(doomed_ids)
+    return {"n_deleted": n_deleted}
+
+
+# Hard cap on rows materialized into a command-façade select body. A
+# normal select is bounded by its `limit`, but `limit=-1` (the
+# reference's "all rows") would otherwise collect an unbounded result
+# onto the driver. The n_hits header stays the TRUE count either way.
+SELECT_BODY_MAX_ROWS = 100_000
 
 
 def _select_body(res, hits_df: DataFrame) -> list:
-    rows = hits_df.collect()
+    rows = hits_df.limit(SELECT_BODY_MAX_ROWS).collect()
     cols = [[f.name, f.dataType.simpleString()] for f in hits_df.schema.fields]
     return [[res.n_hits], cols, *[list(r) for r in rows]]
 
@@ -259,9 +268,11 @@ def _cmd_select(
             cols = [[f.name, f.dataType.simpleString()]
                     for f in dd.schema.fields]
             # the reference reports the TOTAL group count in the header;
-            # limit bounds rows only (same shape as [[n_hits], ...])
+            # limit bounds rows only (same shape as [[n_hits], ...]).
+            # Always prefer the pre-limit frame: with limit=0 the rows
+            # are suppressed but the total group count is still reported.
             total = res.drilldown_totals[label].count() \
-                if len(rows) and label in res.drilldown_totals else len(rows)
+                if label in res.drilldown_totals else len(rows)
             body.append([[total], cols, *[list(r) for r in rows]])
     if output_type == "json":
         return json.dumps(body, default=str)

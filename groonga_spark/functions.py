@@ -100,6 +100,13 @@ def snippet_udf(keywords: list[str], width: int = 100, max_n: int = 3,
         for k1 in kws for k2 in kws
         for i in range(1, len(k1))
     )
+    # re.IGNORECASE matches via casefolding-style equivalences that
+    # str.lower() does not perform ('ſ'≡'s', 'K'≡'k'), and some case
+    # mappings change string LENGTH ('İ'.lower() → 'i̇'), which would
+    # misalign the vectorized offsets against the original text. If any
+    # KEYWORD carries such a character the vectorized scan can never be
+    # trusted; for text rows we check per batch below.
+    fold_unsafe_keywords = any(k.casefold() != k.lower() for k in kws)
 
     def _one_sequential(text):
         if text is None:
@@ -126,10 +133,18 @@ def snippet_udf(keywords: list[str], width: int = 100, max_n: int = 3,
     def _snip(s: pd.Series) -> pd.Series:
         import numpy as np
 
-        if overlap_possible:
+        if overlap_possible or fold_unsafe_keywords:
             return s.map(_one_sequential)
         text = s.fillna("")
         lower = text.str.lower()
+        # Rows whose lowercase differs in length from the original
+        # (e.g. 'İ' → 'i̇') would misalign slice offsets, and rows where
+        # casefold ≠ lower carry IGNORECASE-only equivalences the
+        # vectorized .str.find cannot see — route the batch through the
+        # sequential spec when any such row exists (rare in practice).
+        if ((lower.str.len() != text.str.len())
+                | (text.str.casefold() != lower)).any():
+            return s.map(_one_sequential)
         n = text.str.len().to_numpy(np.int64)
         # last_end < 0 ⇒ first window admits any hit (lo = max(0, ·) ≥ 0)
         last_end = np.full(len(s), -1, np.int64)

@@ -332,6 +332,28 @@ class MultiFieldIndex:
             return empty
 
         shift = 1 << self._FIELD_SHIFT
+        # Aggregate driver-volume gate: _local_blocks caps each FIELD at
+        # DRIVER_QUERY_MAX_BYTES individually, so N fields could each
+        # pass while their sum loads N× the cap onto the driver. Estimate
+        # the total across all fields once (same formula as
+        # _local_blocks: Σdf × bytes-per-posting × 2) and route to the
+        # distributed path when the aggregate exceeds the cap.
+        agg_est = 0.0
+        for fi, (name, _w) in enumerate(cols):
+            fmeta = self.field(name).meta
+            bpp = (
+                fmeta["bytes_compressed"] / fmeta["postings_total"]
+                if fmeta.get("postings_total")
+                else 8.0
+            )
+            f_sum_df = sum(
+                d for t, d in pp["df_by_tid"].items()
+                if t >> self._FIELD_SHIFT == fi + 1
+            )
+            agg_est += f_sum_df * bpp * 2.0
+        if agg_est > self.field(cols[0][0]).DRIVER_QUERY_MAX_BYTES:
+            return "distributed"
+
         by_tid: dict[int, TermPostings] = {}
         for fi, (name, _w) in enumerate(cols):
             tids = pp["raw_tids"][fi]

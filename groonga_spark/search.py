@@ -197,8 +197,15 @@ class FulltextIndex:
         lo = pc.min(tid).as_py()
         hi = pc.max(tid).as_py()
         # dense ids are rank-of-term → a prefix range MUST be contiguous;
-        # anything else means lexicon corruption, not a soft fallback
-        assert hi - lo + 1 == n, (prefix, lo, hi, n)
+        # anything else means lexicon corruption, not a soft fallback.
+        # Explicit raise (not assert): under `python -O` an assert is
+        # stripped and a corrupt lexicon would silently return a range
+        # matching unrelated terms.
+        if hi - lo + 1 != n:
+            raise RuntimeError(
+                "lexicon corruption: dense term_id range for prefix "
+                f"{prefix!r} is non-contiguous (lo={lo}, hi={hi}, n={n})"
+            )
         return int(lo), int(hi), int(n), float(pc.sum(tbl.column("df")).as_py())
 
     def fuzzy_terms(self, term: str, max_distance: int = 1,
@@ -357,7 +364,7 @@ class FulltextIndex:
         tid = {term: t_id for term, t_id, _ in rows}
         df_by_tid = {t_id: df for _, t_id, df in rows}
         ranges = collect_ranges(ast)
-        return {
+        plan = {
             "tokens_by_text": {
                 t: [tid.get(tok) for tok in toks]
                 for t, toks in tokens_by_text.items()
@@ -366,8 +373,18 @@ class FulltextIndex:
             "needed_tids": sorted(set(tid.values())),
             "tid_ranges": sorted({(r.lo_tid, r.hi_tid) for r in ranges}),
             "ranges_sum_df": float(sum(r.sum_df for r in ranges)),
-            "tombstones": self.tombstones(),
         }
+        # Small tombstone sets ride the plan as a numpy mask (cheap,
+        # broadcast once per query). Past TOMBSTONE_DRIVER_MAX the
+        # driver must never materialize the set — the plan carries a
+        # marker instead and the distributed path cogroups each shard
+        # with its range's tombstones (executor-side masking).
+        if self._tombstone_rows_estimate() <= self.TOMBSTONE_DRIVER_MAX:
+            plan["tombstones"] = self.tombstones()
+        else:
+            plan["tombstones"] = None
+            plan["tombstones_external"] = True
+        return plan
 
     # beyond this many (estimated) posting bytes, queries run distributed;
     # under it, the driver reads the pruned blocks directly (search-head
@@ -391,19 +408,50 @@ class FulltextIndex:
     # rebuild compacts them — standard search-engine semantics.
 
     def delete_docs(self, doc_ids) -> None:
-        """Tombstone doc ids (append-only metadata write, driver-side)."""
-        import uuid
+        """Tombstone doc ids (append-only metadata write).
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        ``doc_ids`` is either a small driver-side iterable of ints OR a
+        Spark DataFrame whose first column holds the ids — the DataFrame
+        form writes the tombstone files FROM THE EXECUTORS (one
+        distributed parquet write), so a delete matching 10^9 rows never
+        materializes its id set on the driver."""
+        import shutil
+        import uuid
 
         d = self.store.p("tombstones")
         os.makedirs(d, exist_ok=True)
-        table = pa.table({"doc_id": pa.array(sorted(set(int(x) for x in doc_ids)),
-                                             type=pa.int64())})
-        final = os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, final + ".tmp")
-        os.replace(final + ".tmp", final)
+        if isinstance(doc_ids, DataFrame):
+            # distributed write into a staging dir, then adopt the part
+            # files under the t-*.parquet naming the reader/generation
+            # logic expects (no _SUCCESS marker in the live dir)
+            id_col = doc_ids.columns[0]
+            stage = os.path.join(d, f".stage-{uuid.uuid4().hex}")
+            (doc_ids.select(F.col(id_col).cast("long").alias("doc_id"))
+                    .distinct()
+                    .write.mode("overwrite").parquet(stage))
+            n = 0
+            for fn in sorted(os.listdir(stage)):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(stage, fn),
+                        os.path.join(d, f"t-{uuid.uuid4().hex}.parquet"),
+                    )
+                    n += 1
+            shutil.rmtree(stage, ignore_errors=True)
+            if n == 0:  # empty result set: nothing tombstoned
+                self._tombstones = None
+                return
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.table({
+                "doc_id": pa.array(sorted(set(int(x) for x in doc_ids)),
+                                   type=pa.int64())
+            })
+            final = os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
+            pq.write_table(table, final + ".tmp")
+            os.replace(final + ".tmp", final)
         self._tombstones = None  # invalidate cache
 
     def tombstones(self) -> np.ndarray:
@@ -419,6 +467,31 @@ class FulltextIndex:
                     np.asarray(tbl.column("doc_id").to_pylist(), np.int64)
                 )
         return self._tombstones
+
+    #: beyond this many tombstoned ids the driver stops materializing the
+    #: mask: queries route to the cluster, where each (segment, shard)
+    #: group receives ONLY its doc-range's tombstones via a cogroup (the
+    #: range assignment is a broadcast join against O(shards) ranges).
+    #: Under it, the mask is a small numpy array inside the query plan.
+    TOMBSTONE_DRIVER_MAX = 1_000_000
+
+    def _tombstone_rows_estimate(self) -> int:
+        """Upper bound on tombstoned ids from parquet FOOTERS only —
+        O(files) metadata reads, never the data pages. Duplicates across
+        files make this an overestimate, which only errs toward the
+        (safe) executor-side path."""
+        d = self.store.p("tombstones")
+        if not os.path.isdir(d):
+            return 0
+        import pyarrow.parquet as pq
+
+        total = 0
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(d, fn)
+                ).metadata.num_rows
+        return total
 
     def _local_blocks(self, tids: list[int], plan: dict,
                       force: bool = False):
@@ -536,35 +609,97 @@ class FulltextIndex:
             return spark.createDataFrame([], empty_schema)
 
         if distributed is not True:
-            pdf = self._local_blocks(
-                tids, plan, force=(distributed is False)
-            )
-            if pdf is not None:
-                kernel = SegmentQueryKernel(pdf, plan, self._stats(), k)
-                doc, score = kernel.run(ast)
-                out = pd.DataFrame({"doc_id": doc, "score": score})
-                if cache_key is not None:
-                    self._result_cache_put(cache_key, out)
-                return spark.createDataFrame(out, empty_schema)
+            # an explicit distributed=False override still runs on the
+            # driver even past the tombstone cap (the caller insisted);
+            # the auto route skips the local path so the driver never
+            # holds a TOMBSTONE_DRIVER_MAX-exceeding mask
+            if plan.get("tombstones_external") and distributed is False:
+                plan.pop("tombstones_external")
+                plan["tombstones"] = self.tombstones()
+            if not plan.get("tombstones_external"):
+                pdf = self._local_blocks(
+                    tids, plan, force=(distributed is False)
+                )
+                if pdf is not None:
+                    kernel = SegmentQueryKernel(pdf, plan, self._stats(), k)
+                    doc, score = kernel.run(ast)
+                    out = pd.DataFrame({"doc_id": doc, "score": score})
+                    if cache_key is not None:
+                        self._result_cache_put(cache_key, out)
+                    return spark.createDataFrame(out, empty_schema)
 
-        stats = self._stats()
+        per_shard = self._per_shard_eval(ast, plan, self._stats(), k,
+                                         topk=True)
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _per_shard_eval(self, ast, plan: dict, stats: dict, k: int,
+                        topk: bool) -> DataFrame:
+        """Fan the kernel out per (segment, shard). Shards are
+        doc-disjoint → the kernel is correct per group; parallelism =
+        live shards, not segments.
+
+        When the plan marks tombstones as external (set too big for the
+        driver), each shard group is COGROUPED with exactly its doc
+        range's tombstones: the tombstone table is range-assigned to
+        shards via a broadcast join against the O(shards) range frame,
+        so the full set is never materialized on the driver nor shipped
+        whole to any executor."""
+        spark = self.spark
+        empty_schema = "doc_id long, score double"
+        external = plan.pop("tombstones_external", False)
         bplan = spark.sparkContext.broadcast(plan)
         ast_b = spark.sparkContext.broadcast(ast)
-
-        def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            kernel = SegmentQueryKernel(pdf, bplan.value, stats, k)
-            doc, score = kernel.run(ast_b.value)
-            return pd.DataFrame({"doc_id": doc, "score": score})
-
-        # shards are doc-disjoint → the kernel is correct per (segment,
-        # shard); parallelism = live shards, not segments
         blocks = self.postings.filter(
             self._postings_pred(plan)
         ).withColumn("shard", F.shiftright("block_id", 24))
-        per_shard = blocks.groupBy("segment", "shard").applyInPandas(
-            _run, schema=empty_schema
+
+        if not external:
+            def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                kernel = SegmentQueryKernel(pdf, bplan.value, stats, k)
+                doc, score = (kernel.run(ast_b.value) if topk
+                              else kernel.eval(ast_b.value))
+                return pd.DataFrame({"doc_id": doc, "score": score})
+
+            return blocks.groupBy("segment", "shard").applyInPandas(
+                _run, schema=empty_schema
+            )
+
+        tomb = spark.read.parquet(self.store.p("tombstones"))
+        # fresh column names break the shared lineage with `blocks`
+        # (the cogroup below would otherwise trip Spark's ambiguous
+        # self-join analysis — both sides descend from the same scan)
+        ranges = blocks.groupBy("segment", "shard").agg(
+            F.min("min_doc_id").alias("_lo"),
+            F.max("max_doc_id").alias("_hi"),
+        ).select(
+            F.col("segment").alias("_seg"),
+            F.col("shard").alias("_shd"),
+            "_lo", "_hi",
         )
-        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        assign = tomb.join(
+            F.broadcast(ranges),
+            (tomb["doc_id"] >= F.col("_lo"))
+            & (tomb["doc_id"] <= F.col("_hi")),
+        ).select(
+            F.col("_seg").alias("segment"),
+            F.col("_shd").alias("shard"),
+            "doc_id",
+        )
+
+        def _run_t(key, bpdf: pd.DataFrame,
+                   tpdf: pd.DataFrame) -> pd.DataFrame:
+            p = dict(bplan.value)
+            t = (np.unique(tpdf["doc_id"].to_numpy(np.int64))
+                 if len(tpdf) else None)
+            p["tombstones"] = t if t is not None and len(t) else None
+            kernel = SegmentQueryKernel(bpdf, p, stats, k)
+            doc, score = (kernel.run(ast_b.value) if topk
+                          else kernel.eval(ast_b.value))
+            return pd.DataFrame({"doc_id": doc, "score": score})
+
+        return blocks.groupBy("segment", "shard").cogroup(
+            assign.groupBy("segment", "shard")
+        ).applyInPandas(_run_t, schema=empty_schema)
 
     def match_docs(self, query: str,
                    distributed: bool | None = None,
@@ -583,24 +718,15 @@ class FulltextIndex:
         if ast is None or not (plan["needed_tids"] or plan["tid_ranges"]):
             return spark.createDataFrame([], "doc_id long, score double")
         if distributed is not True:
-            pdf = self._local_blocks(
-                plan["needed_tids"], plan, force=(distributed is False)
-            )
-            if pdf is not None:
-                return self._run_local(pdf, ast, plan, self._stats(),
-                                       1 << 62, topk=False)
-        stats = self._stats()
-        bplan = spark.sparkContext.broadcast(plan)
-        ast_b = spark.sparkContext.broadcast(ast)
-
-        def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            kernel = SegmentQueryKernel(pdf, bplan.value, stats, 1 << 62)
-            doc, score = kernel.eval(ast_b.value)
-            return pd.DataFrame({"doc_id": doc, "score": score})
-
-        blocks = self.postings.filter(
-            self._postings_pred(plan)
-        ).withColumn("shard", F.shiftright("block_id", 24))
-        return blocks.groupBy("segment", "shard").applyInPandas(
-            _run, schema="doc_id long, score double"
-        )
+            if plan.get("tombstones_external") and distributed is False:
+                plan.pop("tombstones_external")
+                plan["tombstones"] = self.tombstones()
+            if not plan.get("tombstones_external"):
+                pdf = self._local_blocks(
+                    plan["needed_tids"], plan, force=(distributed is False)
+                )
+                if pdf is not None:
+                    return self._run_local(pdf, ast, plan, self._stats(),
+                                           1 << 62, topk=False)
+        return self._per_shard_eval(ast, plan, self._stats(), 1 << 62,
+                                    topk=False)

@@ -115,3 +115,67 @@ def test_select_drilldown_total_vs_limit(ctx):
     assert dd[0][0] == n_langs          # header = total groups
     assert len(dd) - 2 == 2             # rows bounded by limit
     assert n_langs > 2
+
+
+def test_drilldown_limit0_still_reports_total(ctx):
+    """drilldown limit=0 suppresses rows but the header must still carry
+    the TOTAL group count (reference semantics)."""
+    body = execute(ctx, "select", table="Docs", limit=0,
+                   drilldowns={"langs": {"keys": ["lang"], "limit": 0}})
+    dd = body[1]
+    assert len(dd) - 2 == 0                  # no rows
+    n_langs = execute(ctx, "select", table="Docs", limit=0,
+                      drilldowns={"all": {"keys": ["lang"]}})[1][0][0]
+    assert dd[0][0] == n_langs and n_langs > 0
+
+
+def test_select_body_row_cap(ctx, monkeypatch):
+    """limit=-1 ("all rows") must not collect unboundedly onto the
+    driver: the body is capped at SELECT_BODY_MAX_ROWS while the n_hits
+    header stays the TRUE count."""
+    import groonga_spark.commands as cmds
+
+    monkeypatch.setattr(cmds, "SELECT_BODY_MAX_ROWS", 3)
+    body = execute(ctx, "select", table="Docs", filter='lang == "en"',
+                   sort_keys="doc_id", output_columns="doc_id", limit=-1)
+    hits = body[0]
+    assert hits[0][0] > 3          # true n_hits, uncapped
+    assert len(hits) - 2 == 3      # materialized rows capped
+
+
+def test_delete_filter_streams_tombstones(spark, tmp_path):
+    """delete --filter must never collect the doomed ids to the driver:
+    the index receives the id DataFrame and writes tombstones from the
+    executors; queries then exclude the deleted docs."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from pyspark.sql import DataFrame
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "del_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    ctx = CommandContext(spark)
+    ctx.register("Docs", docs, index=idx)
+
+    seen = {}
+    orig = FulltextIndex.delete_docs
+
+    def spy(self, doc_ids):
+        seen["type"] = type(doc_ids)
+        return orig(self, doc_ids)
+
+    FulltextIndex.delete_docs = spy
+    try:
+        before = {r["doc_id"] for r in idx.match_docs("spark").collect()}
+        doomed = {r["doc_id"] for r in
+                  docs.filter('lang = "en"').select("doc_id").collect()}
+        r = execute(ctx, "delete", table="Docs", filter='lang == "en"')
+    finally:
+        FulltextIndex.delete_docs = orig
+    assert issubclass(seen["type"], DataFrame)   # streamed, not a list
+    assert r["n_deleted"] == len(doomed) > 0
+    assert ctx.tables["Docs"].count() == docs.count() - len(doomed)
+    after = {r["doc_id"] for r in idx.match_docs("spark").collect()}
+    assert after == before - doomed

@@ -120,3 +120,28 @@ def test_rand(spark):
     assert all(0.0 <= x < 1.0 for x in a)
     m = [r["m"] for r in df.select(rand(6, seed=7).alias("m")).collect()]
     assert set(m) <= set(range(6)) and len(set(m)) > 1
+
+
+def test_snippet_length_changing_case_folds(spark):
+    """Unicode case mappings that change string LENGTH ('İ' → 'i̇')
+    would misalign the vectorized lower-case offsets against the
+    original text; such rows must fall back to the sequential spec."""
+    from groonga_spark.functions import snippet_udf
+
+    rows = [
+        "İİİİİİ kitap okuyorum",      # len('İ'.lower()) == 2 → shift
+        "plain kitap here",            # safe row in the same batch
+        "ﬀﬀ kitap",                     # 'ﬀ' casefolds to 'ff'
+        None,
+    ]
+    for width, max_n, tags in [(10, 2, ("", "")), (12, 1, ("[", "]"))]:
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                                   "i long, text string")
+        snip = snippet_udf(["kitap"], width=width, max_n=max_n,
+                           open_tag=tags[0], close_tag=tags[1])
+        got = {r["i"]: list(r["snips"])
+               for r in df.select("i", snip(F.col("text")).alias("snips"))
+               .collect()}
+        for i, t in enumerate(rows):
+            want = _snippet_ref(t, ["kitap"], width, max_n, *tags)
+            assert got[i] == want, (i, t, got[i], want)

@@ -338,3 +338,30 @@ def test_append_multifield(spark, tmp_path):
             .collect()]
     assert got == want
     assert {d for d, _ in got} == set(range(160))
+
+
+def test_multifield_aggregate_driver_cap(built, monkeypatch):
+    """DRIVER_QUERY_MAX_BYTES must gate the SUM of all fields' posting
+    volume, not each field individually — N fields each just under the
+    cap would otherwise load N× the cap onto the driver."""
+    from groonga_spark.ql import parse_query
+    from groonga_spark.search import FulltextIndex
+
+    cols = built._cols("title||body")
+    ast = parse_query("spark merge")
+    pp = built._pruned_plan(ast, cols)
+    assert pp not in (None, "empty")
+    per_field = []
+    for fi, (name, _w) in enumerate(cols):
+        m = built.field(name).meta
+        bpp = (m["bytes_compressed"] / m["postings_total"]
+               if m.get("postings_total") else 8.0)
+        sdf = sum(d for t, d in pp["df_by_tid"].items()
+                  if t >> built._FIELD_SHIFT == fi + 1)
+        per_field.append(sdf * bpp * 2.0)
+    agg = sum(per_field)
+    assert max(per_field) < agg
+    # a cap every field passes individually but the aggregate exceeds
+    monkeypatch.setattr(FulltextIndex, "DRIVER_QUERY_MAX_BYTES",
+                        (max(per_field) + agg) / 2)
+    assert built._pruned_topk(ast, cols, 10) == "distributed"

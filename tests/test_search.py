@@ -961,3 +961,54 @@ def test_prefix_range_respects_tombstones(spark, tmp_path):
     assert pr is not None
     assert (pr[0] == want[0]).all() and (pr[1] == want[1]).all()
     assert not set(pr[0].tolist()) & {3, 7, 42, 99}
+
+
+def test_external_tombstones_executor_side(spark, corpus, tmp_path):
+    """Past TOMBSTONE_DRIVER_MAX the driver must never materialize the
+    tombstone set: the plan carries a marker, queries auto-route to the
+    cluster, and each (segment, shard) is cogrouped with only its doc
+    range's tombstones. Results must equal the driver-mask path."""
+    docs, rows = corpus
+    path = str(tmp_path / "tomb_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+
+    idx = FulltextIndex(spark, path)
+    doomed = sorted(d for d, _ in rows)[::3][:150]  # every 3rd doc
+    # DataFrame form: tombstones written from the executors
+    idx.delete_docs(spark.createDataFrame([(int(d),) for d in doomed],
+                                          "doc_id long"))
+
+    queries = ["spark", "spark merge", "spark OR stream", "table -scan",
+               '"spark fast"']
+    # baseline: the small-set driver-mask path
+    want = {q: [(r["doc_id"], r["score"])
+                for r in idx.search(q, 10, use_cache=False).collect()]
+            for q in queries}
+    want_match = {q: {r["doc_id"] for r in idx.match_docs(q).collect()}
+                  for q in queries}
+    for q in queries:
+        assert not (set(d for d, _ in want[q]) & set(doomed))
+
+    # force the external path on a FRESH handle and PROVE the driver
+    # never materializes the set: tombstones() raises if called
+    idx2 = FulltextIndex(spark, path)
+    idx2.TOMBSTONE_DRIVER_MAX = 0
+
+    def boom():
+        raise AssertionError("driver materialized the tombstone set")
+
+    idx2.tombstones = boom
+    for q in queries:
+        got = [(r["doc_id"], r["score"])
+               for r in idx2.search(q, 10, use_cache=False).collect()]
+        assert got == want[q], q
+        gm = {r["doc_id"] for r in idx2.match_docs(q).collect()}
+        assert gm == want_match[q], q
+
+    # explicit distributed=False override still honors the driver path
+    # (and is allowed to materialize): restore the real method for it
+    del idx2.tombstones
+    loc = [(r["doc_id"], r["score"])
+           for r in idx2.search("spark merge", 10, distributed=False,
+                                use_cache=False).collect()]
+    assert loc == want["spark merge"]
