@@ -332,6 +332,24 @@ def build_segment(
     seg_dir = store.p("segments", str(segment))
     blocks.write.mode("overwrite").parquet(seg_dir)
 
+    # per-segment vocabulary partial (term, df, cf): a column-pruned agg
+    # over the JUST-WRITTEN segment (page-cache-warm locally; 3 narrow
+    # columns from the object store in prod). Runs inside the segment
+    # phase — overlapped with other segments' builds — so finalize's
+    # lexicon no longer scans every block partial on its critical path:
+    # it merges these O(vocab)-sized partials instead. Written BEFORE
+    # the lineage commit so committed ⇒ vocab partial exists; finalize
+    # falls back to the full block scan when any partial is missing
+    # (pre-upgrade indexes, post-compaction segments).
+    (
+        spark.read.parquet(seg_dir)
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(store.p("vocab", str(segment)))
+    )
+
     # metrics off the committed files (exactly what was written) + the
     # lineage commit: both are METADATA ops over a few MB of parquet, so
     # they run driver-side (duckdb scan / pyarrow write) — no Spark job.
@@ -411,6 +429,22 @@ def _append_lineage(store: IndexStore, row: dict) -> None:
 # stage 2: multi-way merge + lexicon + final postings
 # --------------------------------------------------------------------------
 
+#: wall-clock per finalize sub-phase of the LAST finalize_index call —
+#: read by scripts/scaling_run.py for the Amdahl phase attribution
+#: (BENCH.md). Keys: lexicon_s (agg + dense ids + counts), writes_s
+#: (lexicon + doc_map + postings jobs, overlapped), meta_s (driver-side
+#: lineage/meta bookkeeping).
+FINALIZE_PHASES: dict[str, float] = {}
+
+#: vocab-row bound for the driver-side lexicon fast path. ≤ this many
+#: (footer-estimated) vocab-partial rows, the driver merges + sorts the
+#: partials and assigns ids itself — no Spark jobs. Past it, the
+#: distributed assign_dense_ids path runs (the 100 TB route: a web-scale
+#: lexicon at ~10^8 terms must never be collected). Same pattern as
+#: FulltextIndex.DRIVER_QUERY_MAX_BYTES.
+LEXICON_DRIVER_MAX = 4_000_000
+
+
 def finalize_index(
     spark: SparkSession,
     store: IndexStore,
@@ -420,6 +454,7 @@ def finalize_index(
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     shard_size: int = DEFAULT_SHARD_SIZE,
 ) -> dict:
+    FINALIZE_PHASES.clear()
     seg_root = store.p("segments")
     seg_dirs = [
         os.path.join(seg_root, d) for d in sorted(os.listdir(seg_root), key=int)
@@ -432,6 +467,7 @@ def finalize_index(
     # docs_tokenized and Σdl at commit time)
     import duckdb
 
+    _t_meta0 = time.time()
     _con = duckdb.connect()
     srow = _con.sql(
         f"""SELECT coalesce(sum(docs_tokenized), 0),
@@ -446,17 +482,98 @@ def finalize_index(
     n_docs = int(srow[0])
     avgdl = float(srow[1]) / n_docs if n_docs else 0.0
     hwm = int(srow[4])  # corpus doc-id high-water mark (-1 = unknown)
+    FINALIZE_PHASES["meta_s"] = time.time() - _t_meta0
 
-    # lexicon: df/cf roll up from block partials; dense ids by term order
-    lex = blocks.filter(F.col("term") != "").groupBy("term").agg(
-        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
-    )
-    lex, n_terms, _lex_cached = assign_dense_ids(
-        lex, "term", "term_id", with_count=True
-    )
-    lex.write.mode("overwrite").parquet(store.p("lexicon"))
-    # the write materialized through assign_dense_ids' persist — reuse it
-    # for the join below instead of re-reading
+    # lexicon: df/cf roll up from the stage-1 vocab partials (or the
+    # block partials when any partial is missing); dense ids = rank of
+    # term. Two routes, split on a footer-estimated row count:
+    #  · DRIVER fast path (vocab partials complete and ≤
+    #    LEXICON_DRIVER_MAX rows): merge + sort the partials on the
+    #    driver (duckdb; binary UTF-8 collation — the same unsigned-byte
+    #    string order Spark sorts by, so ids are bit-identical to the
+    #    distributed path) and attach ids as one arange. Replaces three
+    #    vocab-sized Spark jobs (range-boundary sampling, per-partition
+    #    counts, lexicon write) with O(vocab) driver work + one
+    #    broadcast — those fixed job costs were the measured Amdahl
+    #    ceiling of finalize.
+    #  · DISTRIBUTED path (big vocab / missing partials):
+    #    assign_dense_ids. Its input is PERSISTED first because
+    #    repartitionByRange samples boundaries by executing the child —
+    #    unpersisted, the agg would scan + shuffle its source twice.
+    _t_lex0 = time.time()
+    vocab_dirs = [store.p("vocab", os.path.basename(d)) for d in seg_dirs]
+    vocab_files: list[str] = []
+    vocab_ok = True
+    for v in vocab_dirs:
+        fs = (
+            [os.path.join(v, f) for f in os.listdir(v) if f.endswith(".parquet")]
+            if os.path.isdir(v) else []
+        )
+        if not fs:
+            vocab_ok = False
+            break
+        vocab_files.extend(fs)
+
+    lex_agg = None
+    _lex_cached = None
+    lex = None
+    if vocab_ok:
+        import pyarrow.parquet as pq
+
+        # upper bound: duplicate terms across segments inflate the sum,
+        # which only errs toward the (safe) distributed path
+        est_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in vocab_files
+        )
+    if vocab_ok and est_rows <= LEXICON_DRIVER_MAX:
+        import shutil as _sh
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files_sql = ", ".join(
+            "'" + f.replace("'", "''") + "'" for f in vocab_files
+        )
+        _con2 = duckdb.connect()
+        tbl = _con2.sql(
+            f"""SELECT term, sum(df)::BIGINT AS df, sum(cf)::BIGINT AS cf
+                FROM read_parquet([{files_sql}])
+                GROUP BY term ORDER BY term"""
+        ).arrow()
+        _con2.close()
+        n_terms = tbl.num_rows
+        tbl = tbl.append_column(
+            "term_id", pa.array(np.arange(n_terms, dtype=np.int64))
+        )
+        # overwrite-equivalent directory swap (no Spark write job)
+        lex_dir = store.p("lexicon")
+        tmp_dir = lex_dir + ".tmp"
+        _sh.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
+        _sh.rmtree(lex_dir, ignore_errors=True)
+        os.replace(tmp_dir, lex_dir)
+        lex_join = F.broadcast(
+            spark.createDataFrame(
+                tbl.select(["term", "term_id", "df"]).to_pandas()
+            )
+        )
+    else:
+        if vocab_ok:
+            # merge the O(segments · vocab) partials — no block scan
+            lex_src = spark.read.parquet(*vocab_dirs).groupBy("term").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            )
+        else:
+            lex_src = blocks.filter(F.col("term") != "").groupBy("term").agg(
+                F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
+            )
+        lex_agg = lex_src.persist(StorageLevel.MEMORY_AND_DISK)
+        lex, n_terms, _lex_cached = assign_dense_ids(
+            lex_agg, "term", "term_id", with_count=True
+        )
+        lex_join = lex.select("term", "term_id", "df")
+    FINALIZE_PHASES["lexicon_s"] = time.time() - _t_lex0
 
     # doc_map decoded from the markers: whole-batch decode (one vb_decode
     # over the concatenated buffers, segmented cumsum) — no per-row Python
@@ -487,6 +604,7 @@ def finalize_index(
             )
 
     def _write_doc_map():
+        t0 = time.time()
         (
             markers.select("segment", "block_id", "n_docs", "doc_deltas", "dls")
             .mapInPandas(
@@ -496,13 +614,25 @@ def finalize_index(
             .write.mode("overwrite")
             .parquet(store.p("doc_map"))
         )
+        FINALIZE_PHASES["doc_map_s"] = time.time() - t0
 
-    # doc_map is independent of the postings merge — run it concurrently
-    # so its job doesn't serialize the finalize critical path
+    def _write_lexicon():
+        # distributed path only (the driver path already wrote the
+        # lexicon inline); reads assign_dense_ids' persisted
+        # intermediate — no recompute
+        t0 = time.time()
+        lex.write.mode("overwrite").parquet(store.p("lexicon"))
+        FINALIZE_PHASES["lex_write_s"] = time.time() - t0
+
+    # lexicon write and doc_map decode are independent of the postings
+    # merge — run all three concurrently so neither small job serializes
+    # the finalize critical path (Spark's scheduler interleaves them)
     from concurrent.futures import ThreadPoolExecutor
 
-    _pool = ThreadPoolExecutor(max_workers=1)
+    _t_writes0 = time.time()
+    _pool = ThreadPoolExecutor(max_workers=2)
     _doc_map_fut = _pool.submit(_write_doc_map)
+    _lex_write_fut = _pool.submit(_write_lexicon) if lex is not None else None
 
     # final postings: attach term_id + df. No score column is stored:
     # every block already carries (max_tf, min_dl), and the query kernel
@@ -523,7 +653,7 @@ def finalize_index(
     # (a term's blocks live in ≤4 term-range-clustered files).
     n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     final = (
-        blocks.join(lex.select("term", "term_id", "df"), "term")
+        blocks.join(lex_join, "term")
         .withColumn(
             "_bucket",
             F.least(
@@ -536,10 +666,18 @@ def finalize_index(
         .sortWithinPartitions("term_id", "segment", "block_id")
         .drop("term", "_bucket", "_sub")
     )
+    _t_post0 = time.time()
     final.write.mode("overwrite").parquet(store.p("postings"))
+    FINALIZE_PHASES["postings_s"] = time.time() - _t_post0
     _doc_map_fut.result()
+    if _lex_write_fut is not None:
+        _lex_write_fut.result()
     _pool.shutdown()
-    _lex_cached.unpersist()
+    if _lex_cached is not None:
+        _lex_cached.unpersist()
+    if lex_agg is not None:
+        lex_agg.unpersist()
+    FINALIZE_PHASES["writes_s"] = time.time() - _t_writes0
 
     totals = (srow[2], srow[3])
 
@@ -612,6 +750,9 @@ def compact_index(spark: SparkSession, path: str) -> dict:
         )
         _shutil.rmtree(seg_dir)
         os.replace(tmp_dir, seg_dir)
+        # the segment's blocks changed → its stage-1 vocab partial is
+        # stale; drop it so finalize falls back to the full block scan
+        _shutil.rmtree(store.p("vocab", d), ignore_errors=True)
 
         # refresh the segment's lineage metrics (replace its rows)
         import glob as _glob

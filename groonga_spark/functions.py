@@ -216,6 +216,91 @@ def highlight_html_udf(keywords: list[str]):
     return _hl
 
 
+def highlight_udf(spec: list[tuple[str, str, str]],
+                  html_escape: bool = False):
+    """[G: lib/proc/proc_highlight.c · highlight] — PER-KEYWORD tag
+    pairs: ``spec = [(keyword, open_tag, close_tag), ...]``, optional
+    HTML escaping of the surrounding text (the reference's trailing
+    ``{"html_escape": true}`` map argument).
+
+    One combined alternation regex (leftmost-FIRST, matching the
+    reference's scan order — list more-specific keywords first) with a
+    per-MATCH callable picking that keyword's tags. Per-match Python is
+    deliberate: unlike highlight_html's single shared tag there is no
+    string template for N tag pairs, and highlight runs over the final
+    top-k page (≤ limit rows), never a corpus scan."""
+    from pyspark.sql import types as T
+
+    if not spec:
+        raise ValueError("highlight needs at least one (keyword, open, close)")
+    pat = re.compile(
+        "|".join(f"({re.escape(k)})" for k, _o, _c in spec), re.IGNORECASE
+    )
+    tags = [(o, c) for _k, o, c in spec]
+
+    def _repl(m: re.Match) -> str:
+        o, c = tags[m.lastindex - 1]
+        return f"{o}{m.group(0)}{c}"
+
+    @F.pandas_udf(T.StringType())
+    def _hl(s: pd.Series) -> pd.Series:
+        t = s
+        if html_escape:
+            t = (
+                t.str.replace("&", "&amp;", regex=False)
+                .str.replace("<", "&lt;", regex=False)
+                .str.replace(">", "&gt;", regex=False)
+            )
+        return t.str.replace(pat, _repl, regex=True)
+
+    return _hl
+
+
+def highlight_full_udf(normalizer: str, html_escape: bool,
+                       spec: list[tuple[str, str, str]]):
+    """[G: lib/proc/proc_highlight.c · highlight_full] — the explicit
+    form: ``highlight_full(column, normalizer, use_html_escape,
+    keyword1, open1, close1, ...)``. Same engine as ``highlight``; the
+    normalizer argument is validated against the engine's frozen
+    normalizer (NormalizerAuto ≈ NFKC + casefold, normalize.py) — other
+    normalizers aren't part of the frozen contract."""
+    if normalizer not in ("NormalizerAuto", "NormalizerNFKC"):
+        raise ValueError(
+            f"unsupported normalizer {normalizer!r}: the engine freezes "
+            "NFKC normalization (SURVEY.md §2.9a); use NormalizerAuto"
+        )
+    return highlight_udf(spec, html_escape=html_escape)
+
+
+# --------------------------------------------------------------------------
+# index-meta functions  [G: plugins/functions/index_column.c]
+# --------------------------------------------------------------------------
+
+
+def index_column_df_ratio(index, term: str | None = None):
+    """[G: plugins/functions/index_column.c · index_column_df_ratio] —
+    per-term document-frequency ratio df / N. The data is a lexicon
+    column join'd with meta; this wrapper names it. ``term=None``
+    returns the ratio for every lexicon term."""
+    n_docs = max(1, int(index.meta["n_docs"]))
+    out = index.lexicon.select(
+        "term", "df", (F.col("df") / F.lit(float(n_docs))).alias("df_ratio")
+    )
+    if term is not None:
+        out = out.filter(F.col("term") == term)
+    return out
+
+
+def index_column_source_records(index, term: str):
+    """[G: plugins/functions/index_column.c · index_column_source_records]
+    — the doc ids whose postings contain ``term``: the index-backed
+    reverse traversal as a named callable (exact Term AST — no QL
+    parsing, so metacharacters in the term are safe)."""
+    from groonga_spark.ql import Term
+
+    return index.match_ast(Term(term)).select("doc_id")
+
+
 # --------------------------------------------------------------------------
 # math / misc  [G: lib/proc.c · func math_abs, number_round, rand, now]
 # --------------------------------------------------------------------------

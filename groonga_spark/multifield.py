@@ -501,6 +501,30 @@ class MultiFieldIndex:
         """(doc_id, score) of every match under the column spec."""
         return self._eval(parse_query(query), self._cols(match_columns))
 
+    def match_ast(self, ast, match_columns: str | None = None) -> DataFrame:
+        """match_docs over a pre-expanded AST (select's match-escalation
+        path enters here with lexicon-expanded terms that must never
+        round-trip through the QL parser)."""
+        return self._eval(ast, self._cols(match_columns))
+
+    def _prefix_terms(self, prefix: str, limit: int | None = None,
+                      match_columns: str | None = None) -> list[str]:
+        """Per-field escalation semantics: the prefix expands against
+        the UNION of the queried fields' lexicons (each field is its own
+        section index with its own vocabulary [G: WITH_SECTION]), in
+        match_columns order, deduplicated; each field's scan honors
+        ``limit`` and the union is re-capped to it."""
+        out: list[str] = []
+        seen: set[str] = set()
+        for name, _w in self._cols(match_columns):
+            for t in self.field(name)._prefix_terms(prefix, limit=limit):
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
+        if limit is not None and len(out) > limit:
+            out = out[:limit]
+        return out
+
     def search(self, query: str, match_columns: str | None = None,
                k: int = 10) -> DataFrame:
         """BM25F top-k → (doc_id, score), (score desc, doc_id asc).

@@ -70,6 +70,31 @@ def _lex_script(s: str) -> list[tuple[str, str]]:
     return out
 
 
+_DOT_PATH = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+
+
+def _rewrite_dot_paths(text: str | None, heads: set[str]):
+    """Rewrite reference accessors ``fk.sub`` → ``fk__sub`` in the CODE
+    portions of a script/param string (string literals pass through via
+    _lex_script, so ``url @ "a.b"`` is untouched). Returns the rewritten
+    text plus the set of (fk, sub) paths used — the caller joins exactly
+    those dimension columns."""
+    used: set[tuple[str, str]] = set()
+    if not text:
+        return text, used
+
+    def _rep(m: re.Match) -> str:
+        if m.group(1) in heads:
+            used.add((m.group(1), m.group(2)))
+            return f"{m.group(1)}__{m.group(2)}"
+        return m.group(0)
+
+    out = []
+    for kind, tok in _lex_script(text):
+        out.append(_DOT_PATH.sub(_rep, tok) if kind == "code" else tok)
+    return "".join(out), used
+
+
 def script_to_sql(expr: str) -> str:
     """Translate Groonga script-syntax boolean expr → Spark SQL string.
 
@@ -327,11 +352,20 @@ def select(
     need_hit_count: bool = True,
     match_columns: str | None = None,
     scorer: str | None = None,
+    references: dict | None = None,
 ) -> SelectResult:
     """The grn_select pipeline over a DataFrame (+ optional fulltext index).
 
     ``query`` needs ``index`` (a search.FulltextIndex whose doc ids match
     ``table[id_col]``); everything else is pure DataFrame algebra.
+
+    ``references`` maps a foreign-key COLUMN of ``table`` to its
+    dimension: ``{"fk_col": (dim_df, "dim_pk")}``. With it, the
+    reference's dot-path accessor idiom ``fk_col.sub`` works directly in
+    ``filter`` / ``post_filter`` / ``scorer`` / ``sort_keys`` /
+    ``output_columns`` / drilldown keys [G: lib/db.c · accessor chain]:
+    each used dimension is broadcast-joined once (N:1 traversal,
+    relations.ref_join shape) and output columns keep the dotted label.
     """
     df = table
 
@@ -339,6 +373,62 @@ def select(
     for name, spec in (columns or {}).items():
         if spec.get("stage", "initial") == "initial":
             df = _dynamic_column(df, name, spec)
+
+    # -- stage: reference resolution (dot-path accessor sugar)
+    alias_out: dict[str, str] = {}
+    if references:
+        heads = set(references)
+        used: set[tuple[str, str]] = set()
+
+        def _rw(text):
+            nonlocal used
+            text, u = _rewrite_dot_paths(text, heads)
+            used |= u
+            return text
+
+        filter = _rw(filter)  # noqa: A001
+        post_filter = _rw(post_filter)
+        if scorer is not None:
+            scorer = _rw(scorer)
+        if isinstance(sort_keys, str):
+            sort_keys = _rw(sort_keys)
+        elif isinstance(sort_keys, list):
+            sort_keys = [_rw(k) for k in sort_keys]
+        if isinstance(output_columns, str):
+            output_columns = _rw(output_columns)
+        elif isinstance(output_columns, list):
+            output_columns = [_rw(c) for c in output_columns]
+
+        def _rw_spec(s):
+            if isinstance(s, str):
+                return _rw(s)
+            if isinstance(s, dict) and s.get("keys"):
+                return {**s, "keys": [_rw(k) for k in s["keys"]]}
+            return s
+
+        if isinstance(drilldowns, (str, list)) and not isinstance(
+            drilldowns, dict
+        ):
+            drilldowns = (
+                _rw_spec(drilldowns) if isinstance(drilldowns, str)
+                else [_rw_spec(s) for s in drilldowns]
+            )
+        elif isinstance(drilldowns, dict):
+            drilldowns = {la: _rw_spec(s) for la, s in drilldowns.items()}
+
+        by_fk: dict[str, set] = {}
+        for fk, sub in used:
+            by_fk.setdefault(fk, set()).add(sub)
+            alias_out[f"{fk}__{sub}"] = f"{fk}.{sub}"
+        for fk, subs in by_fk.items():
+            dim, pk = references[fk]
+            d = dim.select(
+                F.col(pk).alias("__ref_pk"),
+                *[F.col(s).alias(f"{fk}__{s}") for s in sorted(subs)],
+            )
+            df = df.join(
+                F.broadcast(d), df[fk] == d["__ref_pk"], "left"
+            ).drop("__ref_pk")
 
     # -- stage: selection (query via index ∧ filter via Catalyst)
     if query is not None:
@@ -357,18 +447,41 @@ def select(
             matches = index.match_docs(query)
         if (match_escalation_threshold is not None
                 and hasattr(index, "_prefix_terms")):
-            # escalation relaxes via the lexicon prefix scan — single-
-            # field indexes only (a MultiFieldIndex has one per field)
+            # escalation relaxes via the lexicon prefix scan; a
+            # MultiFieldIndex expands against the union of the queried
+            # fields' lexicons and re-matches under the same
+            # match_columns weights
             n = matches.count()
             if n <= match_escalation_threshold:
-                esc = _escalate_ast(index, query)
+                esc = _escalate_ast(index, query,
+                                    match_columns=match_columns)
                 if esc is not None:
-                    matches = index.match_ast(esc)
+                    if match_columns is not None:
+                        matches = index.match_ast(
+                            esc, match_columns=match_columns
+                        )
+                    else:
+                        matches = index.match_ast(esc)
         if adjuster:
             from groonga_spark.algebra import combine
 
-            for adj_query, factor in adjuster:
-                boost = index.match_docs(adj_query).withColumn(
+            for adj in adjuster:
+                if len(adj) == 3:
+                    # (query, factor, match_columns): the reference's
+                    # per-column adjuster element ``col @ "kw" * n`` —
+                    # the boost match runs under its OWN column spec
+                    adj_query, factor, adj_mc = adj
+                    if not _accepts_match_columns(index):
+                        raise ValueError(
+                            "adjuster entry with match_columns needs a "
+                            "multi-field index"
+                        )
+                    boost = index.match_docs(adj_query,
+                                             match_columns=adj_mc)
+                else:
+                    adj_query, factor = adj
+                    boost = index.match_docs(adj_query)
+                boost = boost.withColumn(
                     "score", F.col("score") * F.lit(float(factor))
                 )
                 matches = combine(matches, boost, "adjust")
@@ -461,6 +574,13 @@ def select(
     order = _parse_sort_keys(sort_keys, id_col=id_col)
     if order:
         hits = hits.orderBy(*order)
+    if offset and offset < 0:
+        # reference pagination: a negative offset counts from the END of
+        # the matched set (offset=-1 ⇒ last record). Rewritten to a
+        # count-relative positive offset; needs the hit count — when the
+        # caller opted out of it (need_hit_count=False), count here.
+        n = n_hits if n_hits >= 0 else base.count()
+        offset = max(0, n + offset)
     if offset:
         hits = hits.offset(offset)
     if limit is not None and limit >= 0:
@@ -480,7 +600,8 @@ def select(
             cols = []
             for c in output_columns:
                 if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
-                    cols.append(F.col(c))
+                    # resolved reference paths present their dotted label
+                    cols.append(F.col(c).alias(alias_out.get(c, c)))
                 else:
                     cols.append(F.expr(script_to_sql(c)).alias(
                         re.sub(r"\W+", "_", c).strip("_")
@@ -492,7 +613,7 @@ def select(
                         _cached=cached)
 
 
-def _escalate_ast(index, query: str):
+def _escalate_ast(index, query: str, match_columns: str | None = None):
     """Match escalation [G: lib/expr.c/ii.c · grn_ii_select escalation]:
     when hits ≤ threshold, relax each term to an OR over lexicon terms
     sharing its prefix (EXACT → PARTIAL approximation). Uses the
@@ -510,9 +631,20 @@ def _escalate_ast(index, query: str):
     terms = query_terms(parse_query(query))
     if not terms:
         return None
+    import inspect as _inspect
+
+    takes_mc = (
+        match_columns is not None
+        and "match_columns"
+        in _inspect.signature(index._prefix_terms).parameters
+    )
     parts = []
     for t in terms:
-        expanded = index._prefix_terms(normalize_str(t).lower(), limit=8)
+        norm = normalize_str(t).lower()
+        expanded = (
+            index._prefix_terms(norm, limit=8, match_columns=match_columns)
+            if takes_mc else index._prefix_terms(norm, limit=8)
+        )
         if len(expanded) > 1:
             parts.append(Or([Term(x) for x in expanded]))
         elif expanded:

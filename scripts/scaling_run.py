@@ -59,6 +59,9 @@ def main() -> None:
         t0 = time.time()
         out = _orig_fin(*a, **kw)
         phase["finalize_s"] = round(time.time() - t0, 2)
+        phase["finalize_phases"] = {
+            k: round(v, 2) for k, v in _B.FINALIZE_PHASES.items()
+        }
         return out
 
     def _timed_ids(*a, **kw):
@@ -102,6 +105,7 @@ def main() -> None:
                         build_s - phase.get("finalize_s", 0.0), 2
                     ),
                     "finalize_s": phase.get("finalize_s"),
+                    "finalize_phases": phase.get("finalize_phases"),
                     "lexicon_ids_s": phase.get("lexicon_ids_s"),
                     "query_total_s": round(query_total_s, 2),
                     "query_times": q_times,

@@ -96,3 +96,70 @@ def test_iceberg_backend_call_surface():
     calls.clear()
     assert io.incremental_read(None) == "DF"  # no snapshot → full read
     assert calls == [("format", "iceberg"), ("load", "cat.db.postings")]
+
+
+def _iceberg_jar():
+    import glob
+    import os
+
+    import pyspark
+
+    hits = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                     "iceberg-spark-runtime*.jar")
+    )
+    return hits[0] if hits else None
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    _iceberg_jar() is None,
+    reason="iceberg-spark-runtime jar not on the PySpark classpath "
+           "(this sandbox ships parquet only; the call surface is "
+           "verified by test_iceberg_backend_call_surface)",
+)
+def test_iceberg_real_round_trip(tmp_path):
+    """END-TO-END Iceberg round-trip — runs whenever the runtime jar is
+    present (skipped-with-reason otherwise, keeping the prod-duality
+    claim honest). Own spark-submit subprocess: the session needs the
+    Iceberg extension + a hadoop catalog, which the suite's shared
+    session doesn't carry."""
+    import subprocess
+    import sys
+    import textwrap
+
+    payload = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {repr(__file__.rsplit('/tests/', 1)[0])})
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.local",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse",
+                    {repr(str(tmp_path / 'wh'))})
+            .config("spark.jars", {repr(_iceberg_jar())})
+            .getOrCreate()
+        )
+        from groonga_spark.catalog import TableIO
+        io = TableIO(spark, "local.db.t", backend="iceberg")
+        io.write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                       "id long, v string"))
+        first = [r["snapshot_id"] for r in spark.sql(
+            "SELECT snapshot_id FROM local.db.t.snapshots").collect()]
+        io.write(spark.createDataFrame([(3, "c")], "id long, v string"),
+                 mode="append")
+        assert io.read().count() == 3
+        inc = io.incremental_read(first[0])
+        assert [tuple(r) for r in inc.collect()] == [(3, "c")]
+        spark.stop()
+        print("ICEBERG_OK")
+    """)
+    out = subprocess.run([sys.executable, "-c", payload],
+                         capture_output=True, text=True, timeout=300)
+    assert "ICEBERG_OK" in out.stdout, out.stderr[-2000:]

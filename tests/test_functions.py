@@ -145,3 +145,62 @@ def test_snippet_length_changing_case_folds(spark):
         for i, t in enumerate(rows):
             want = _snippet_ref(t, ["kitap"], width, max_n, *tags)
             assert got[i] == want, (i, t, got[i], want)
+
+
+def test_highlight_per_keyword_tags(spark):
+    from groonga_spark.functions import highlight_full_udf, highlight_udf
+
+    df = spark.createDataFrame(
+        [("Data beats model; DATAMODEL data",), ("a < b & model",), (None,)],
+        "text string",
+    )
+    spec = [("data", "<b>", "</b>"), ("model", "<i>", "</i>")]
+    got = [r[0] for r in
+           df.select(highlight_udf(spec)(F.col("text"))).collect()]
+    assert got[0] == "<b>Data</b> beats <i>model</i>; <b>DATA</b><i>MODEL</i> <b>data</b>"
+    assert got[1] == "a < b & <i>model</i>"  # no escaping by default
+    assert got[2] is None
+
+    esc = [r[0] for r in
+           df.select(highlight_udf(spec, html_escape=True)(F.col("text")))
+           .collect()]
+    assert esc[1] == "a &lt; b &amp; <i>model</i>"
+
+    full = [r[0] for r in
+            df.select(highlight_full_udf("NormalizerAuto", True, spec)(
+                F.col("text"))).collect()]
+    assert full == esc
+    with pytest.raises(ValueError, match="unsupported normalizer"):
+        highlight_full_udf("NormalizerMeCab", False, spec)
+    with pytest.raises(ValueError, match="at least one"):
+        from groonga_spark.functions import highlight_udf as h
+        h([])
+
+
+def test_index_meta_functions(spark, tmp_path):
+    from groonga_spark.build import build_index
+    from groonga_spark.functions import (
+        index_column_df_ratio,
+        index_column_source_records,
+    )
+    from groonga_spark.search import FulltextIndex
+
+    docs = spark.createDataFrame(
+        [(0, "red fish"), (1, "blue fish"), (2, "red wine"), (3, "plain")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "meta_idx")
+    build_index(spark, docs, path, mode="delimit")
+    idx = FulltextIndex(spark, path)
+
+    ratios = {r["term"]: r["df_ratio"]
+              for r in index_column_df_ratio(idx).collect()}
+    assert ratios["fish"] == pytest.approx(2 / 4)
+    assert ratios["red"] == pytest.approx(2 / 4)
+    assert ratios["plain"] == pytest.approx(1 / 4)
+    one = index_column_df_ratio(idx, "wine").collect()
+    assert len(one) == 1 and one[0]["df_ratio"] == pytest.approx(1 / 4)
+
+    recs = {r["doc_id"]
+            for r in index_column_source_records(idx, "red").collect()}
+    assert recs == {0, 2}

@@ -365,3 +365,67 @@ def test_multifield_aggregate_driver_cap(built, monkeypatch):
     monkeypatch.setattr(FulltextIndex, "DRIVER_QUERY_MAX_BYTES",
                         (max(per_field) + agg) / 2)
     assert built._pruned_topk(ast, cols, 10) == "distributed"
+
+
+def test_multifield_escalation_per_field(spark, built, corpus, oracle):
+    """Escalation over a 2-field index: the prefix relaxes against the
+    UNION of the queried fields' lexicons and re-matches under the same
+    match_columns weights."""
+    from groonga_spark.ql import Or, Term
+    from groonga_spark.select import select
+
+    rows, df = corpus
+    # "que" matches nothing exactly; escalation expands it to que* terms
+    # from the title+body lexicons ("query")
+    exp = built._prefix_terms("que", limit=8,
+                              match_columns="title*10||body")
+    assert "query" in exp
+    with select(df, index=built, query="que",
+                match_columns="title*10||body",
+                match_escalation_threshold=0,
+                sort_keys="-_score,doc_id", limit=10,
+                output_columns=["doc_id", "_score"]) as res:
+        got = [(r["doc_id"], r["_score"]) for r in res.hits.collect()]
+    want = sorted(
+        oracle.eval(Or([Term(t) for t in exp]) if len(exp) > 1
+                    else Term(exp[0]),
+                    parse_match_columns("title*10||body")).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_multifield_adjuster_match_columns(spark, built, corpus, oracle):
+    """3-tuple adjuster entries run the boost under their OWN column
+    spec (the reference's per-column ``col @ "kw" * n`` element)."""
+    from groonga_spark.ql import Term
+    from groonga_spark.select import select
+
+    rows, df = corpus
+    mc = "title||body"
+    with select(df, index=built, query="spark", match_columns=mc,
+                adjuster=[("merge", 3.0, "title")],
+                sort_keys="-_score,doc_id", limit=10,
+                output_columns=["doc_id", "_score"]) as res:
+        got = {r["doc_id"]: r["_score"] for r in res.hits.collect()}
+    base = oracle.eval(Term("spark"), parse_match_columns(mc))
+    boost = oracle.eval(Term("merge"), parse_match_columns("title"))
+    want = {d: s + 3.0 * boost.get(d, 0.0) for d, s in base.items()}
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got) == [d for d, _ in top]
+    for d, s in top:
+        assert got[d] == pytest.approx(s, abs=1e-9)
+    # a 3-tuple against a single-field index is a hard error
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    import tempfile
+
+    sf_path = tempfile.mkdtemp(prefix="gs_adj1f_")
+    build_index(spark, df.select("doc_id", F.col("body").alias("text")),
+                sf_path, mode="delimit")
+    single = FulltextIndex(spark, sf_path)
+    with pytest.raises(ValueError, match="multi-field"):
+        select(df, index=single, query="spark",
+               adjuster=[("merge", 2.0, "title")], limit=5)

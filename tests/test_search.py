@@ -1012,3 +1012,68 @@ def test_external_tombstones_executor_side(spark, corpus, tmp_path):
            for r in idx2.search("spark merge", 10, distributed=False,
                                 use_cache=False).collect()]
     assert loc == want["spark merge"]
+
+
+def test_lexicon_driver_path_matches_distributed(spark, corpus, tmp_path,
+                                                 monkeypatch):
+    """The driver-side lexicon fast path (duckdb merge-sort of stage-1
+    vocab partials + arange ids) must be bit-identical to the
+    distributed assign_dense_ids path — including non-ASCII terms, where
+    a collation mismatch (duckdb ORDER BY vs Spark's unsigned UTF-8 byte
+    sort) would silently permute term_ids."""
+    import groonga_spark.build as B
+
+    docs, rows = corpus
+    extra = spark.createDataFrame(
+        [
+            (max(r[0] for r in rows) + 1, "東京 データ 検索 naïve café"),
+            (max(r[0] for r in rows) + 2, "Åpple zebra ημέρα 東京 café"),
+        ],
+        "doc_id long, text string",
+    )
+    full = docs.select("doc_id", "text").unionByName(extra)
+
+    outs = {}
+    for name, cap in (("driver", B.LEXICON_DRIVER_MAX), ("dist", 0)):
+        monkeypatch.setattr(B, "LEXICON_DRIVER_MAX", cap)
+        path = str(tmp_path / f"idx_{name}")
+        build_index(spark, full, path, mode="delimit", segment_size=200)
+        store = IndexStore(path)
+        lex = [
+            tuple(r)
+            for r in spark.read.parquet(store.p("lexicon"))
+            .select("term", "term_id", "df", "cf").orderBy("term_id")
+            .collect()
+        ]
+        post = [
+            tuple(r)
+            for r in spark.read.parquet(store.p("postings"))
+            .orderBy("term_id", "segment", "block_id").collect()
+        ]
+        outs[name] = (lex, post)
+    assert outs["driver"][0] == outs["dist"][0]
+    assert outs["driver"][1] == outs["dist"][1]
+
+
+def test_lexicon_falls_back_without_vocab_partials(spark, corpus, tmp_path):
+    """A pre-upgrade index (no stage-1 vocab partials) must finalize via
+    the block-scan fallback and produce the identical lexicon."""
+    import groonga_spark.build as B
+
+    docs, _ = corpus
+    path = str(tmp_path / "idx_novocab")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    store = IndexStore(path)
+    before = [
+        tuple(r)
+        for r in spark.read.parquet(store.p("lexicon"))
+        .select("term", "term_id", "df", "cf").orderBy("term_id").collect()
+    ]
+    shutil.rmtree(store.p("vocab"))
+    B.finalize_index(spark, store, "delimit", segment_size=200)
+    after = [
+        tuple(r)
+        for r in spark.read.parquet(store.p("lexicon"))
+        .select("term", "term_id", "df", "cf").orderBy("term_id").collect()
+    ]
+    assert before == after

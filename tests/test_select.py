@@ -393,3 +393,75 @@ def test_escalation_with_metachar_lexicon_terms(spark, tmp_path):
                  output_columns=["doc_id"], need_hit_count=False)
     got = {r["doc_id"] for r in res.hits.collect()}
     assert got == {0, 1, 3}
+
+
+def test_negative_offset_counts_from_end(spark, docs):
+    """Reference pagination: offset=-N starts N records before the end
+    of the matched set (offset=-1 ⇒ last record)."""
+    res = select(
+        docs,
+        filter='lang == "en"',
+        sort_keys="doc_id",
+        offset=-3,
+        limit=10,
+        output_columns=["doc_id"],
+    )
+    want = [r["doc_id"] for r in
+            docs.filter("lang = 'en'").orderBy("doc_id").collect()]
+    assert [r["doc_id"] for r in res.hits.collect()] == want[-3:]
+    # lazy path (need_hit_count=False) must still resolve the offset
+    res2 = select(
+        docs,
+        filter='lang == "en"',
+        sort_keys="doc_id",
+        offset=-1,
+        limit=10,
+        output_columns=["doc_id"],
+        need_hit_count=False,
+    )
+    assert [r["doc_id"] for r in res2.hits.collect()] == want[-1:]
+
+
+def test_dot_path_reference_accessors(spark):
+    """references= resolves the reference idiom ``fk.sub`` in filter /
+    sort_keys / output_columns / drilldown keys via one broadcast join
+    per dimension, keeping the dotted output label."""
+    users = spark.createDataFrame(
+        [(0, "u0", 10), (1, "u1", 20), (2, "u2", 10), (3, "u3", 30)],
+        "doc_id long, name string, dept_id long",
+    )
+    depts = spark.createDataFrame(
+        [(10, "eng", "B1"), (20, "ops", "B2"), (30, "eng", "B2")],
+        "d_id long, d_name string, building string",
+    )
+    res = select(
+        users,
+        filter='dept_id.d_name == "eng"',
+        sort_keys="-dept_id.building,doc_id",
+        output_columns=["doc_id", "name", "dept_id.building"],
+        references={"dept_id": (depts, "d_id")},
+        limit=-1,
+    )
+    rows = res.hits.collect()
+    assert res.hits.columns == ["doc_id", "name", "dept_id.building"]
+    assert [(r["doc_id"], r["dept_id.building"]) for r in rows] == [
+        (3, "B2"), (0, "B1"), (2, "B1")
+    ]
+    # drilldown on a dotted key
+    res2 = select(
+        users,
+        drilldowns=[{"keys": ["dept_id.d_name"]}],
+        references={"dept_id": (depts, "d_id")},
+        limit=0,
+    )
+    dd = {tuple(r) for r in list(res2.drilldowns.values())[0].collect()}
+    assert dd == {("eng", 3), ("ops", 1)}
+    # literals containing dots are untouched
+    res3 = select(
+        users,
+        filter='name == "u1" || name @ "x.y"',
+        references={"dept_id": (depts, "d_id")},
+        output_columns=["doc_id"],
+        limit=-1,
+    )
+    assert [r["doc_id"] for r in res3.hits.collect()] == [1]
