@@ -1032,6 +1032,68 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_select_dot_path(spark, sf):
+    """Dot-path reference accessors (round 4, SURVEY §2.3 idiom):
+    ``c_nationkey.n_name`` in filter/output resolves through
+    ``references=`` via one broadcast N:1 join, keeping the dotted
+    output label — no hand-written join."""
+    from groonga_spark.select import select
+
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    res = select(
+        customer,
+        filter='c_nationkey.n_name == "NATION_3" && c_acctbal > 1000',
+        limit=-1,
+        output_columns=["c_custkey", "c_name", "c_nationkey.n_name"],
+        references={"c_nationkey": (nation, "n_nationkey")},
+        id_col="c_custkey",
+        need_hit_count=False,
+    )
+    return res.hits
+
+
+def q_select_neg_offset(spark, sf):
+    """Negative offset (round 4, SURVEY §2.6): offset=-5 paginates from
+    the END of the matched set (reference semantics), rewritten to a
+    count-relative positive offset."""
+    from groonga_spark.select import select
+
+    docs = _t(spark, sf, "documents")
+    res = select(
+        docs,
+        filter='lang == "en"',
+        sort_keys="doc_id",
+        offset=-5,
+        limit=5,
+        output_columns=["doc_id", "n_chars"],
+    )
+    return res.hits
+
+
+def q_highlight_tags(spark, sf):
+    """Per-keyword tag pairs — the reference's ``highlight`` /
+    ``highlight_full`` argument shape (round 4, SURVEY §2.8)."""
+    from groonga_spark.functions import highlight_udf
+
+    docs = _t(spark, sf, "documents")
+    hl = highlight_udf([("spark", "<b>", "</b>"), ("merge", "<i>", "</i>")])
+    return docs.select("doc_id", hl(F.col("text")).alias("marked"))
+
+
+def q_index_df_ratio(spark, sf):
+    """Named index-meta wrapper index_column_df_ratio (round 4, SURVEY
+    §2.8): per-term df / N straight off the lexicon + meta."""
+    from groonga_spark.functions import index_column_df_ratio
+
+    idx = _index(spark, sf)
+    return index_column_df_ratio(idx).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.round("df_ratio", 6).alias("df_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver-coverage rotation (round 4) -------------------------
@@ -1049,6 +1111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bigram": q_ft_bigram,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        # round-4 additions — brand new, so inside the 50-entry cap
+        "select_dot_path": q_select_dot_path,
+        "select_neg_offset": q_select_neg_offset,
+        "highlight_tags": q_highlight_tags,
+        "index_df_ratio": q_index_df_ratio,
         # fulltext core (SURVEY.md §2.9)
         "term_df": q_term_df,
         "ft_match_single": q_ft_match_single,
@@ -1358,6 +1425,25 @@ def oracle_sql() -> dict[str, str]:
         "term_df": f"""
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
                    count(*)::BIGINT AS cf
+            FROM ({_TOKS}) GROUP BY term""",
+        "select_dot_path": """
+            SELECT c_custkey, c_name, n_name AS "c_nationkey.n_name"
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3' AND c_acctbal > 1000""",
+        "select_neg_offset": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+                ORDER BY doc_id DESC LIMIT 5)
+            ORDER BY doc_id""",
+        "highlight_tags": """
+            SELECT doc_id,
+                   replace(replace(text, 'spark', '<b>spark</b>'),
+                           'merge', '<i>merge</i>') AS marked
+            FROM documents""",
+        "index_df_ratio": f"""
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   round(count(DISTINCT doc_id)
+                         / (SELECT count(*) FROM documents), 6) AS df_ratio
             FROM ({_TOKS}) GROUP BY term""",
         # stop list then stem-lite, mirroring tokenize.stem_lite exactly
         "term_df_filtered": f"""
