@@ -315,19 +315,24 @@ def write_bench_md(r: dict) -> None:
     if any(v.get("finalize_s") for v in r["levels"].values()):
         lines += [
             "", "Phase attribution (Amdahl analysis — where the serial",
-            "fraction lives; segments = stage-1 shard jobs, finalize =",
-            "lexicon dense ids + postings merge + doc_map + driver-side",
-            "metadata, lexicon_ids ⊂ finalize):", "",
-            "| cores | segments s | finalize s | lexicon_ids s |"
-            " finalize share |",
-            "|---|---|---|---|---|",
+            "fraction lives; segments = stage-1 shard jobs; finalize",
+            "sub-phases: meta+lexicon = the DRIVER-SERIAL part (duckdb",
+            "lineage rollup + vocab-partial merge-sort), doc_map and",
+            "postings = DISTRIBUTED Spark jobs that run inside finalize",
+            "and shrink with the cluster, not with the driver):", "",
+            "| cores | segments s | finalize s | driver-serial s |"
+            " doc_map s | postings s | finalize share |",
+            "|---|---|---|---|---|---|---|",
         ]
         for c, v in sorted(r["levels"].items(), key=lambda kv: int(kv[0])):
             fin = v.get("finalize_s") or 0.0
+            ph = v.get("finalize_phases") or {}
+            serial = round(ph.get("meta_s", 0.0) + ph.get("lexicon_s", 0.0), 2)
             share = round(100.0 * fin / v["build_s"], 1) if v["build_s"] else 0
             lines.append(
                 f"| local[{c}] | {v.get('segments_s')} | {fin} |"
-                f" {v.get('lexicon_ids_s')} | {share}% |"
+                f" {serial if ph else '—'} | {ph.get('doc_map_s', '—')} |"
+                f" {ph.get('postings_s', '—')} | {share}% |"
             )
     lines += ["", "Scaling efficiency, single-ladder (raw = thr_hi /",
               "((hi/lo)·thr_lo); host-expressible = the same ratio for the",
@@ -352,7 +357,9 @@ def write_bench_md(r: dict) -> None:
     if any(v.get("finalize_s") for v in r["levels"].values()):
         def _phase_eff(key, lo, hi):
             # efficiency = (t_lo / t_hi) / (hi/lo): 1.0 = perfect scaling
-            a, b = r["levels"].get(lo, {}), r["levels"].get(hi, {})
+            # (levels keys are ints in-process, strings after JSON round-trip)
+            a = r["levels"].get(lo) or r["levels"].get(str(lo)) or {}
+            b = r["levels"].get(hi) or r["levels"].get(str(hi)) or {}
             if not (a.get(key) and b.get(key)):
                 return None
             return round(a[key] / b[key] / (hi / lo), 3)
