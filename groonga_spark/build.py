@@ -34,6 +34,15 @@ measurement pass is needed. Stage 2's only wide op keys by
 (term_id, block_id) range, which splits a giant term's blocks across
 partitions while preserving global order.
 
+Input layout requirement at scale: each segment job filters the corpus
+to its doc-id range, and that predicate is pushed to the scan (PLANS.md
+· segment_corpus_scan_pruned). With the corpus CLUSTERED by doc_id
+(Iceberg partitioned/sorted by doc range — the natural layout for an
+append-only crawl corpus) the N segment jobs read the corpus ~once in
+total via file/partition pruning. Unclustered input degrades to
+O(n_segments) full scans; pick ``segment_size`` so n_segments stays
+O(100–1000) (the resume-granularity trade) or cluster the input first.
+
 On-disk layout under an index root (local parquet; Iceberg tables in
 prod — same schemas, see SURVEY.md §1.3):
   segments/<k>/   block partials keyed by term string (+ "" markers)

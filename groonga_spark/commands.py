@@ -52,13 +52,39 @@ class CommandContext:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     indexes: dict[str, Any] = field(default_factory=dict)  # Fulltext/MultiField
     id_cols: dict[str, str] = field(default_factory=dict)
+    #: per-table reference columns, the schema property a Groonga column
+    #: whose type is another table carries: {table: {fk_col: (other_table
+    #: NAME, its pk col)}} — lets select resolve dot-path accessors
+    #: schema-driven, like the reference [G: lib/db.c · column type =
+    #: table ⇒ accessor chain]
+    references: dict[str, dict[str, tuple[str, str]]] = field(
+        default_factory=dict
+    )
 
     def register(self, name: str, df: DataFrame, index=None,
-                 id_col: str = "doc_id") -> None:
+                 id_col: str = "doc_id",
+                 references: dict[str, tuple[str, str]] | None = None) -> None:
         self.tables[name] = df
         if index is not None:
             self.indexes[name] = index
         self.id_cols[name] = id_col
+        if references:
+            self.references[name] = dict(references)
+
+    def resolve_references(self, table: str) -> dict:
+        """Column-name-keyed reference map for a select over ``table``:
+        every registered table's reference columns (so chained paths can
+        hop through dimensions), with ``table``'s own declarations
+        winning on a name collision."""
+        out: dict = {}
+        for tname, m in self.references.items():
+            if tname == table:
+                continue
+            for fk, (dim_name, pk) in m.items():
+                out[fk] = (self.tables[dim_name], pk)
+        for fk, (dim_name, pk) in self.references.get(table, {}).items():
+            out[fk] = (self.tables[dim_name], pk)
+        return out
 
 
 def execute(ctx: CommandContext, command: str, **params):
@@ -100,8 +126,16 @@ def _cmd_table_list(ctx: CommandContext):
 
 def _cmd_column_list(ctx: CommandContext, table: str):
     df = ctx.tables[table]
-    return [{"name": f.name, "type": f.dataType.simpleString()}
-            for f in df.schema.fields]
+    refs = ctx.references.get(table, {})
+    out = []
+    for f in df.schema.fields:
+        row = {"name": f.name, "type": f.dataType.simpleString()}
+        if f.name in refs:
+            # a reference column reports the referenced TABLE as its
+            # range, the Groonga column_list convention
+            row["range"] = refs[f.name][0]
+        out.append(row)
+    return out
 
 
 def _cmd_schema(ctx: CommandContext):
@@ -255,6 +289,9 @@ def _cmd_select(
         match_columns=match_columns,
         id_col=ctx.id_cols.get(table, "doc_id"),
     )
+    refs = ctx.resolve_references(table)
+    if refs:
+        sel_kwargs["references"] = refs
     if drilldown is not None:
         sel_kwargs["drilldowns"] = [k.strip() for k in drilldown.split(",")]
     elif drilldowns is not None:

@@ -70,29 +70,58 @@ def _lex_script(s: str) -> list[tuple[str, str]]:
     return out
 
 
-_DOT_PATH = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+_DOT_PATH = re.compile(r"\b([A-Za-z_]\w*)((?:\.[A-Za-z_]\w*)+)\b")
 
 
 def _rewrite_dot_paths(text: str | None, heads: set[str]):
-    """Rewrite reference accessors ``fk.sub`` → ``fk__sub`` in the CODE
-    portions of a script/param string (string literals pass through via
-    _lex_script, so ``url @ "a.b"`` is untouched). Returns the rewritten
-    text plus the set of (fk, sub) paths used — the caller joins exactly
-    those dimension columns."""
-    used: set[tuple[str, str]] = set()
+    """Rewrite reference accessors ``fk.sub`` / chained ``fk.sub.leaf``
+    → ``fk__sub`` / ``fk__sub__leaf`` in the CODE portions of a
+    script/param string (string literals pass through via _lex_script,
+    so ``url @ "a.b"`` is untouched). Returns the rewritten text plus
+    the set of (fk, (hop, ..., leaf)) paths used — the caller joins
+    exactly those dimension columns."""
+    used: set[tuple[str, tuple[str, ...]]] = set()
     if not text:
         return text, used
 
     def _rep(m: re.Match) -> str:
         if m.group(1) in heads:
-            used.add((m.group(1), m.group(2)))
-            return f"{m.group(1)}__{m.group(2)}"
+            chain = tuple(m.group(2).split(".")[1:])
+            used.add((m.group(1), chain))
+            return "__".join((m.group(1),) + chain)
         return m.group(0)
 
     out = []
     for kind, tok in _lex_script(text):
         out.append(_DOT_PATH.sub(_rep, tok) if kind == "code" else tok)
     return "".join(out), used
+
+
+def _path_lookup(references: dict, fk: str, chain: tuple[str, ...]):
+    """Build the (``__ref_pk``, <flat>) lookup frame for one accessor
+    path by folding broadcast N:1 joins through the dimension chain
+    [G semantics: lib/accessor.c · chained GRN_ACCESSOR_GET_VALUE].
+    Every intermediate hop must itself be a registered reference
+    column (``references[hop] = (dim, pk)``)."""
+    flat = "__".join((fk,) + chain)
+    dim, pk = references[fk]
+    lk = dim.select(F.col(pk).alias("__ref_pk"), F.col(chain[0]).alias(flat))
+    for i, leaf in enumerate(chain[1:]):
+        hop = chain[i]
+        if hop not in references:
+            raise ValueError(
+                f"dot path {fk}.{'.'.join(chain)}: intermediate column "
+                f"{hop!r} is not a registered reference "
+                "(add it to references= to traverse through it)"
+            )
+        nxt, npk = references[hop]
+        step = nxt.select(F.col(npk).alias("__hop_pk"),
+                          F.col(leaf).alias("__hop_val"))
+        lk = (
+            lk.join(F.broadcast(step), lk[flat] == step["__hop_pk"], "left")
+            .select("__ref_pk", F.col("__hop_val").alias(flat))
+        )
+    return flat, lk
 
 
 def script_to_sql(expr: str) -> str:
@@ -366,6 +395,9 @@ def select(
     ``output_columns`` / drilldown keys [G: lib/db.c · accessor chain]:
     each used dimension is broadcast-joined once (N:1 traversal,
     relations.ref_join shape) and output columns keep the dotted label.
+    Chained paths ``a.b.c`` work when every intermediate hop is itself
+    a registered reference column (``references["b"] = (dim2, pk2)``);
+    the chain folds into one lookup joined once to the fact table.
     """
     df = table
 
@@ -417,10 +449,15 @@ def select(
             drilldowns = {la: _rw_spec(s) for la, s in drilldowns.items()}
 
         by_fk: dict[str, set] = {}
-        for fk, sub in used:
-            by_fk.setdefault(fk, set()).add(sub)
-            alias_out[f"{fk}__{sub}"] = f"{fk}.{sub}"
+        multi_hop: list[tuple[str, tuple[str, ...]]] = []
+        for fk, chain in used:
+            alias_out["__".join((fk,) + chain)] = ".".join((fk,) + chain)
+            if len(chain) == 1:
+                by_fk.setdefault(fk, set()).add(chain[0])
+            else:
+                multi_hop.append((fk, chain))
         for fk, subs in by_fk.items():
+            # all single-hop leaves of one fk share one broadcast join
             dim, pk = references[fk]
             d = dim.select(
                 F.col(pk).alias("__ref_pk"),
@@ -428,6 +465,13 @@ def select(
             )
             df = df.join(
                 F.broadcast(d), df[fk] == d["__ref_pk"], "left"
+            ).drop("__ref_pk")
+        for fk, chain in sorted(multi_hop):
+            # chained accessor a.b.c: fold the dimension chain into one
+            # (pk, leaf) lookup, then a single broadcast join to the fact
+            flat, lk = _path_lookup(references, fk, chain)
+            df = df.join(
+                F.broadcast(lk), df[fk] == lk["__ref_pk"], "left"
             ).drop("__ref_pk")
 
     # -- stage: selection (query via index ∧ filter via Catalyst)

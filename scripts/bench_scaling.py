@@ -35,8 +35,16 @@ sys.path.insert(0, REPO)
 
 
 def make_corpus(sf_dir: str, mult: int) -> tuple[str, int]:
+    # "rng" = doc-id-range-clustered layout (round 4): written
+    # repartitionByRange(doc_id), the layout a production corpus has
+    # (Iceberg partitioned/sorted by doc range). Each build_segment's
+    # range predicate then prunes to its own files — N segment jobs
+    # read the corpus ~once in total. The previous hash-scattered
+    # layout made every segment job scan every file (O(segments)
+    # read amplification the engine should not be charged for).
     out = os.path.join(
-        tempfile.gettempdir(), f"gs_scaling_corpus_{os.path.basename(sf_dir)}_{mult}"
+        tempfile.gettempdir(),
+        f"gs_scaling_corpus_rng_{os.path.basename(sf_dir)}_{mult}",
     )
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out, corpus_count(out)
@@ -51,7 +59,7 @@ def make_corpus(sf_dir: str, mult: int) -> tuple[str, int]:
         .withColumn("doc_id", F.col("doc_id") * mult + F.col("rep"))
         .drop("rep")
     )
-    big.repartition(64).write.mode("overwrite").parquet(out)
+    big.repartitionByRange(64, "doc_id").write.mode("overwrite").parquet(out)
     n = spark.read.parquet(out).count()
     spark.stop()
     return out, n
@@ -272,7 +280,11 @@ def write_bench_md(r: dict) -> None:
         "local[C] --py-files groonga_spark_pkg.zip scripts/scaling_run.py`",
         "(the engine imports from the shipped zip — the cluster deploy",
         "path). Input: sf0.1 documents deterministically replicated to",
-        f"{r['n_docs']:,} docs (compute-bound regime).",
+        f"{r['n_docs']:,} docs (compute-bound regime), written",
+        "repartitionByRange(doc_id) — the doc-id-clustered layout a",
+        "production corpus has (Iceberg partitioned by doc range), so",
+        "each segment job's range predicate prunes to its own files",
+        "(PLANS.md · segment_corpus_scan_pruned).",
         "",
         "Methodology: the N→4N GATE comes from ONE ladder — a single",
         "invocation with the same best-of-n per level — so both sides of",

@@ -179,3 +179,40 @@ def test_delete_filter_streams_tombstones(spark, tmp_path):
     assert ctx.tables["Docs"].count() == docs.count() - len(doomed)
     after = {r["doc_id"] for r in idx.match_docs("spark").collect()}
     assert after == before - doomed
+
+
+def test_select_dot_path_via_registered_references(spark):
+    """The facade resolves dot-path accessors SCHEMA-driven: reference
+    columns are declared at register() time (the Groonga idiom where a
+    column's type is another table), so `--filter 'dept.d_name == ...'`
+    works without the caller building joins."""
+    from groonga_spark.commands import CommandContext, execute
+
+    users = spark.createDataFrame(
+        [(0, "u0", 10), (1, "u1", 20), (2, "u2", 10)],
+        "doc_id long, name string, dept long",
+    )
+    depts = spark.createDataFrame(
+        [(10, "eng", 100), (20, "ops", 200)],
+        "d_id long, d_name string, building long",
+    )
+    buildings = spark.createDataFrame(
+        [(100, "HQ"), (200, "Annex")], "b_id long, b_name string"
+    )
+    ctx = CommandContext(spark)
+    ctx.register("Users", users,
+                 references={"dept": ("Depts", "d_id")})
+    ctx.register("Depts", depts,
+                 references={"building": ("Buildings", "b_id")})
+    ctx.register("Buildings", buildings)
+
+    body = execute(
+        ctx, "select", table="Users",
+        filter='dept.d_name == "eng"',
+        sort_keys="doc_id",
+        output_columns="doc_id,name,dept.building.b_name",
+        limit=-1,
+    )
+    header, cols, *rows = body[0]
+    assert [c[0] for c in cols] == ["doc_id", "name", "dept.building.b_name"]
+    assert [tuple(r) for r in rows] == [(0, "u0", "HQ"), (2, "u2", "HQ")]

@@ -465,3 +465,62 @@ def test_dot_path_reference_accessors(spark):
         limit=-1,
     )
     assert [r["doc_id"] for r in res3.hits.collect()] == [1]
+
+
+def test_dot_path_chained_accessors(spark):
+    """Chained accessor ``a.b.c`` (the reference's full accessor-chain
+    idiom): every intermediate hop must be a registered reference; the
+    chain folds into one broadcast lookup."""
+    users = spark.createDataFrame(
+        [(0, "u0", 10), (1, "u1", 20), (2, "u2", 10), (3, "u3", 30)],
+        "doc_id long, name string, dept_id long",
+    )
+    depts = spark.createDataFrame(
+        [(10, "eng", 100), (20, "ops", 200), (30, "eng", 200)],
+        "d_id long, d_name string, building_id long",
+    )
+    buildings = spark.createDataFrame(
+        [(100, "HQ", "Berlin"), (200, "Annex", "Kyoto")],
+        "b_id long, b_name string, city string",
+    )
+    refs = {
+        "dept_id": (depts, "d_id"),
+        "building_id": (buildings, "b_id"),
+    }
+    res = select(
+        users,
+        filter='dept_id.building_id.city == "Kyoto"',
+        sort_keys="doc_id",
+        output_columns=["doc_id", "name", "dept_id.building_id.b_name",
+                        "dept_id.d_name"],
+        references=refs,
+        limit=-1,
+    )
+    rows = res.hits.collect()
+    assert res.hits.columns == [
+        "doc_id", "name", "dept_id.building_id.b_name", "dept_id.d_name"
+    ]
+    assert [(r["doc_id"], r["dept_id.building_id.b_name"],
+             r["dept_id.d_name"]) for r in rows] == [
+        (1, "Annex", "ops"), (3, "Annex", "eng")
+    ]
+    # drilldown on a chained key
+    res2 = select(
+        users,
+        drilldowns=[{"keys": ["dept_id.building_id.city"]}],
+        references=refs,
+        limit=0,
+    )
+    dd = {tuple(r) for r in list(res2.drilldowns.values())[0].collect()}
+    assert dd == {("Berlin", 2), ("Kyoto", 2)}
+    # unregistered intermediate hop raises with guidance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="intermediate column"):
+        select(
+            users,
+            filter='dept_id.building_id.city == "Kyoto"',
+            references={"dept_id": (depts, "d_id")},
+            output_columns=["doc_id"],
+            limit=-1,
+        ).hits.collect()
