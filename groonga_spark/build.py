@@ -562,9 +562,12 @@ def finalize_index(
         pq.write_table(tbl, os.path.join(tmp_dir, "part-00000.parquet"))
         _sh.rmtree(lex_dir, ignore_errors=True)
         os.replace(tmp_dir, lex_dir)
+        # explicit schema: an empty vocabulary (every doc tokenized to
+        # zero terms) must yield an empty lexicon, not an inference error
         lex_join = F.broadcast(
             spark.createDataFrame(
-                tbl.select(["term", "term_id", "df"]).to_pandas()
+                tbl.select(["term", "term_id", "df"]).to_pandas(),
+                schema="term string, term_id bigint, df bigint",
             )
         )
     else:

@@ -73,17 +73,28 @@ class CommandContext:
 
     def resolve_references(self, table: str) -> dict:
         """Column-name-keyed reference map for a select over ``table``:
-        every registered table's reference columns (so chained paths can
-        hop through dimensions), with ``table``'s own declarations
-        winning on a name collision."""
+        the table's OWN reference columns (dot-path heads), plus other
+        tables' reference columns so chained paths can hop through
+        dimensions — but only when the name is NOT also a column of
+        ``table`` (a foreign declaration must never hijack this table's
+        same-named plain column; select() additionally restricts heads
+        to actual fact columns). References to a table that is not
+        (yet) registered are skipped, not an error — they only matter
+        if a query actually traverses them."""
+        own = self.references.get(table, {})
+        fact_cols = set(self.tables[table].columns) if table in self.tables \
+            else set()
         out: dict = {}
         for tname, m in self.references.items():
             if tname == table:
                 continue
             for fk, (dim_name, pk) in m.items():
+                if fk in own or fk in fact_cols or dim_name not in self.tables:
+                    continue
                 out[fk] = (self.tables[dim_name], pk)
-        for fk, (dim_name, pk) in self.references.get(table, {}).items():
-            out[fk] = (self.tables[dim_name], pk)
+        for fk, (dim_name, pk) in own.items():
+            if dim_name in self.tables:
+                out[fk] = (self.tables[dim_name], pk)
         return out
 
 

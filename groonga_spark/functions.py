@@ -242,16 +242,29 @@ def highlight_udf(spec: list[tuple[str, str, str]],
         o, c = tags[m.lastindex - 1]
         return f"{o}{m.group(0)}{c}"
 
+    def _esc(x: str) -> str:
+        return (x.replace("&", "&amp;")
+                 .replace("<", "&lt;").replace(">", "&gt;"))
+
+    def _one_escape(text: str) -> str:
+        # match on the SOURCE text (escaping first would break keywords
+        # containing & < > — 'AT&T' never occurs in 'AT&amp;T'), then
+        # escape the non-tag segments: unmatched text and the matched
+        # keyword occurrence, with the caller's tags inserted raw
+        out, last = [], 0
+        for m in pat.finditer(text):
+            o, c = tags[m.lastindex - 1]
+            out.append(_esc(text[last:m.start()]))
+            out.append(f"{o}{_esc(m.group(0))}{c}")
+            last = m.end()
+        out.append(_esc(text[last:]))
+        return "".join(out)
+
     @F.pandas_udf(T.StringType())
     def _hl(s: pd.Series) -> pd.Series:
-        t = s
         if html_escape:
-            t = (
-                t.str.replace("&", "&amp;", regex=False)
-                .str.replace("<", "&lt;", regex=False)
-                .str.replace(">", "&gt;", regex=False)
-            )
-        return t.str.replace(pat, _repl, regex=True)
+            return s.map(_one_escape, na_action="ignore")
+        return s.str.replace(pat, _repl, regex=True)
 
     return _hl
 

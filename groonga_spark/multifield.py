@@ -153,6 +153,19 @@ class MultiFieldIndex:
             )
         return self._fields[name]
 
+    def delete_docs(self, doc_ids) -> None:
+        """Tombstone doc ids in EVERY field index (a document deleted
+        from the table disappears from all its section indexes at once
+        [G: lib/db.c · grn_obj_remove → per-index-column hooks]).
+        Accepts the same forms as FulltextIndex.delete_docs — a small
+        driver-side iterable or a Spark DataFrame of ids (executor-side
+        tombstone write). Iterables are materialized once so generators
+        survive the per-field fan-out."""
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = list(doc_ids)
+        for name in self.manifest["fields"]:
+            self.field(name).delete_docs(doc_ids)
+
     # -- evaluation ---------------------------------------------------------
 
     def _empty(self) -> DataFrame:
@@ -248,6 +261,21 @@ class MultiFieldIndex:
             if len(toks) != 1:
                 return None  # multi-token leaf (ngram/phrase) → exhaustive
             texts.append(toks[0])
+
+        # Driver-mask invariant (search.FulltextIndex._plan): past
+        # TOMBSTONE_DRIVER_MAX rows the driver must never materialize the
+        # tombstone set. Both pruned kernels carry per-field masks inside
+        # the plan (the distributed variant broadcasts them too), so a
+        # giant pre-compaction delete makes the pruned SHAPE ineligible —
+        # callers fall back to the exhaustive per-field algebra, whose
+        # FulltextIndex path masks executor-side past the threshold.
+        est_tombs = 0
+        for name, _w in cols:
+            fidx = self.field(name)
+            fidx._check_generation()
+            est_tombs += fidx._tombstone_rows_estimate()
+        if est_tombs > FulltextIndex.TOMBSTONE_DRIVER_MAX:
+            return None
 
         shift = 1 << self._FIELD_SHIFT
         mapped: list[dict[str, int]] = []

@@ -96,6 +96,7 @@ class FulltextIndex:
             self._lex_cache.clear()
             self._postings_df = None
             self._tombstones = None
+            self._tombstone_est = None
             self.meta = self.store.read_meta()
             self._generation = gen
         return gen
@@ -429,17 +430,48 @@ class FulltextIndex:
             (doc_ids.select(F.col(id_col).cast("long").alias("doc_id"))
                     .distinct()
                     .write.mode("overwrite").parquet(stage))
-            n = 0
-            for fn in sorted(os.listdir(stage)):
-                if fn.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            staged = [os.path.join(stage, fn)
+                      for fn in sorted(os.listdir(stage))
+                      if fn.endswith(".parquet")]
+            staged_rows = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in staged
+            )
+            if staged_rows == 0:
+                staged = []  # schema-only parts: nothing tombstoned
+            if 0 < staged_rows <= self.TOMBSTONE_DRIVER_MAX:
+                # distinct() shuffled to spark.sql.shuffle.partitions, so
+                # a SMALL delete would otherwise adopt up to that many
+                # near-empty files — repeated small deletes then inflate
+                # every footer scan and dataset read. Under the same
+                # threshold the driver mask path already tolerates,
+                # compact the staged parts into ONE file (footer-sized
+                # decision; ≤1M int64 ids ≈ 8 MB). Past the threshold the
+                # part files are adopted as-is — the 10^9-row delete
+                # never touches the driver.
+                import pyarrow as pa
+                import pyarrow.dataset as ds
+
+                ids = ds.dataset(staged, format="parquet").to_table()
+                final = os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
+                pq.write_table(
+                    pa.table({"doc_id": ids.column("doc_id")}),
+                    final + ".tmp",
+                )
+                os.replace(final + ".tmp", final)
+                n = 1
+            else:
+                n = 0
+                for f in staged:
                     os.replace(
-                        os.path.join(stage, fn),
-                        os.path.join(d, f"t-{uuid.uuid4().hex}.parquet"),
+                        f, os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
                     )
                     n += 1
             shutil.rmtree(stage, ignore_errors=True)
             if n == 0:  # empty result set: nothing tombstoned
                 self._tombstones = None
+                self._tombstone_est = None
                 return
         else:
             import pyarrow as pa
@@ -452,7 +484,8 @@ class FulltextIndex:
             final = os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
             pq.write_table(table, final + ".tmp")
             os.replace(final + ".tmp", final)
-        self._tombstones = None  # invalidate cache
+        self._tombstones = None  # invalidate caches (mask + row estimate)
+        self._tombstone_est = None
 
     def tombstones(self) -> np.ndarray:
         if getattr(self, "_tombstones", None) is None:
@@ -479,9 +512,15 @@ class FulltextIndex:
         """Upper bound on tombstoned ids from parquet FOOTERS only —
         O(files) metadata reads, never the data pages. Duplicates across
         files make this an overestimate, which only errs toward the
-        (safe) executor-side path."""
+        (safe) executor-side path. Cached per handle (this runs on EVERY
+        query plan) and invalidated exactly where the mask cache is:
+        local deletes and generation changes."""
+        est = getattr(self, "_tombstone_est", None)
+        if est is not None:
+            return est
         d = self.store.p("tombstones")
         if not os.path.isdir(d):
+            self._tombstone_est = 0
             return 0
         import pyarrow.parquet as pq
 
@@ -491,6 +530,7 @@ class FulltextIndex:
                 total += pq.ParquetFile(
                     os.path.join(d, fn)
                 ).metadata.num_rows
+        self._tombstone_est = total
         return total
 
     def _local_blocks(self, tids: list[int], plan: dict,

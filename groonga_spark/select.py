@@ -409,7 +409,12 @@ def select(
     # -- stage: reference resolution (dot-path accessor sugar)
     alias_out: dict[str, str] = {}
     if references:
-        heads = set(references)
+        # Only references that name an actual column of THIS table can
+        # head a dot path; the rest (e.g. a dimension's own fk, present
+        # solely so chained paths can hop through it) must not rewrite
+        # fact-level text — `meta.lang` on a table whose `meta` is a
+        # plain struct column stays Spark struct access.
+        heads = set(references) & set(df.columns)
         used: set[tuple[str, str]] = set()
 
         def _rw(text):
@@ -585,6 +590,9 @@ def select(
         (1 if need_hit_count else 0)
         + (len(drilldowns) if isinstance(drilldowns, (list, dict)) else (1 if drilldowns else 0))
         + len(slices or {})
+        # a negative offset forces a count of the matched set even when
+        # the caller opted out of n_hits — that count is a consumer too
+        + (1 if (offset and offset < 0 and not need_hit_count) else 0)
         + 1  # hits
     )
     cached = df.cache() if n_consumers > 1 else None

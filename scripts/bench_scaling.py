@@ -244,8 +244,16 @@ def main() -> None:
             for lo in levels for hi in levels
             if hi / lo in (2, 4)
         },
+        # capped at 1.0: normalization corrects for what the box cannot
+        # express, it must never CREDIT the engine beyond perfect scaling
+        # (an understated probe would otherwise inflate the ratio). The
+        # probe's max-over-reps per level biases the expressible
+        # denominator UP, i.e. normalized efficiency DOWN — conservative
+        # for the gate — and it runs the engine's own tokenize kernel in
+        # the same invocation, so workload mismatch stays small.
         "efficiency_host_normalized": {
-            f"{lo}->{hi}": round(eff(lo, hi) / expressible(lo, hi), 3)
+            f"{lo}->{hi}": round(
+                min(eff(lo, hi) / expressible(lo, hi), 1.0), 3)
             for lo in levels for hi in levels
             if hi / lo in (2, 4)
         },
@@ -257,7 +265,7 @@ def main() -> None:
     # raw ratio is reported alongside)
     for lo, hi in ((1, 4), (2, 8), (8, 32)):
         if lo in results and hi in results:
-            e_norm = round(eff(lo, hi) / expressible(lo, hi), 3)
+            e_norm = round(min(eff(lo, hi) / expressible(lo, hi), 1.0), 3)
             report["gate_N_to_4N"] = {
                 "pair": f"local[{lo}] vs local[{hi}]",
                 "efficiency_raw": eff(lo, hi),

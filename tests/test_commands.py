@@ -216,3 +216,52 @@ def test_select_dot_path_via_registered_references(spark):
     header, cols, *rows = body[0]
     assert [c[0] for c in cols] == ["doc_id", "name", "dept.building.b_name"]
     assert [tuple(r) for r in rows] == [(0, "u0", "HQ"), (2, "u2", "HQ")]
+
+
+def test_dangling_reference_does_not_break_select(spark):
+    """A reference to a not-yet-registered table must not crash selects
+    on UNRELATED tables — it only matters if a query traverses it."""
+    from groonga_spark.commands import CommandContext, execute
+
+    orders = spark.createDataFrame([(0, 7)], "doc_id long, cust long")
+    docs = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+    ctx = CommandContext(spark)
+    ctx.register("Orders", orders,
+                 references={"cust": ("Customers", "c_id")})  # dangling
+    ctx.register("Docs", docs)
+
+    body = execute(ctx, "select", table="Docs",
+                   output_columns="doc_id,text", limit=-1)
+    assert [tuple(r) for r in body[0][2:]] == [(0, "hello")]
+    # column_list still reports the declared range on the owning table
+    cl = execute(ctx, "column_list", table="Orders")
+    assert {c["name"]: c.get("range") for c in cl}["cust"] == "Customers"
+
+
+def test_foreign_reference_does_not_hijack_same_named_column(spark):
+    """Another table's reference column named like THIS table's plain
+    struct column must not turn struct access into a join: 'meta.lang'
+    on Docs stays Spark struct access even though Events declares a
+    reference column 'meta'."""
+    from groonga_spark.commands import CommandContext, execute
+
+    docs = spark.createDataFrame(
+        [(0, ("en", 3)), (1, ("ja", 5))],
+        "doc_id long, meta struct<lang:string, stars:long>",
+    )
+    dims = spark.createDataFrame([(3, "x")], "m_id long, m_name string")
+    events = spark.createDataFrame([(0, 3)], "doc_id long, meta long")
+    ctx = CommandContext(spark)
+    ctx.register("Docs", docs)
+    ctx.register("Dims", dims)
+    ctx.register("Events", events, references={"meta": ("Dims", "m_id")})
+
+    body = execute(ctx, "select", table="Docs",
+                   filter='meta.lang == "en"',
+                   output_columns="doc_id,meta.stars", limit=-1)
+    header, cols, *rows = body[0]
+    assert [tuple(r) for r in rows] == [(0, 3)]
+    # the Events select still resolves its own declared reference
+    body2 = execute(ctx, "select", table="Events",
+                    output_columns="doc_id,meta.m_name", limit=-1)
+    assert [tuple(r) for r in body2[0][2:]] == [(0, "x")]

@@ -204,3 +204,23 @@ def test_index_meta_functions(spark, tmp_path):
     recs = {r["doc_id"]
             for r in index_column_source_records(idx, "red").collect()}
     assert recs == {0, 2}
+
+
+def test_highlight_escape_matches_on_source_text(spark):
+    """html_escape must not break keywords containing & < >: matching
+    runs on the SOURCE text (the reference scans the raw column), then
+    the non-tag segments are escaped — escaping first would rewrite
+    'AT&T' to 'AT&amp;T' and the keyword could never match."""
+    from groonga_spark.functions import highlight_udf
+
+    df = spark.createDataFrame(
+        [("AT&T rocks",), ("x<y and AT&T",), ("no match here",)],
+        "text string",
+    )
+    spec = [("AT&T", "<b>", "</b>"), ("x<y", "<i>", "</i>")]
+    got = [r[0] for r in
+           df.select(highlight_udf(spec, html_escape=True)(F.col("text")))
+           .collect()]
+    assert got[0] == "<b>AT&amp;T</b> rocks"
+    assert got[1] == "<i>x&lt;y</i> and <b>AT&amp;T</b>"
+    assert got[2] == "no match here"

@@ -429,3 +429,46 @@ def test_multifield_adjuster_match_columns(spark, built, corpus, oracle):
     with pytest.raises(ValueError, match="multi-field"):
         select(df, index=single, query="spark",
                adjuster=[("merge", 2.0, "title")], limit=5)
+
+
+def test_pruned_ineligible_past_tombstone_cap(spark, tmp_path, monkeypatch):
+    """Past TOMBSTONE_DRIVER_MAX the driver must never materialize the
+    tombstone set on the MULTIFIELD paths either: the pruned kernels
+    carry per-field masks inside the plan, so a giant delete makes the
+    pruned shape ineligible and search falls back to the exhaustive
+    per-field algebra, whose FulltextIndex path masks executor-side."""
+    from groonga_spark.search import FulltextIndex
+
+    df = spark.createDataFrame(
+        [(d, "spark merge" if d % 2 else "table scan",
+          "stream window " * (1 + d % 3)) for d in range(60)],
+        "doc_id long, title string, body string",
+    )
+    path = str(tmp_path / "mf_tomb")
+    build_multifield_index(spark, df, path, ["title", "body"],
+                           mode="delimit", segment_size=30)
+    mf = MultiFieldIndex(spark, path)
+    doomed = [d for d in range(60) if d % 6 == 1]
+    mf.delete_docs(doomed)
+
+    want = {(r["doc_id"], round(r["score"], 9))
+            for r in mf.search("spark stream", "title*2||body", k=10)
+            .collect()}
+    assert want and not ({d for d, _ in want} & set(doomed))
+
+    monkeypatch.setattr(FulltextIndex, "TOMBSTONE_DRIVER_MAX", 0)
+    mf2 = MultiFieldIndex(spark, path)
+    from groonga_spark.ql import parse_query
+
+    cols = mf2._cols("title*2||body")
+    assert mf2._pruned_plan(parse_query("spark stream"), cols) is None
+
+    # PROVE the driver never materializes the set under the cap
+    def boom(self):
+        raise AssertionError("driver materialized the tombstone set")
+
+    monkeypatch.setattr(FulltextIndex, "tombstones", boom)
+    got = {(r["doc_id"], round(r["score"], 9))
+           for r in mf2.search("spark stream", "title*2||body", k=10)
+           .collect()}
+    assert got == want

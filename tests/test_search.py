@@ -1077,3 +1077,60 @@ def test_lexicon_falls_back_without_vocab_partials(spark, corpus, tmp_path):
         .select("term", "term_id", "df", "cf").orderBy("term_id").collect()
     ]
     assert before == after
+
+
+def test_empty_vocabulary_build(spark, tmp_path, monkeypatch):
+    """A corpus whose documents tokenize to ZERO terms (all-whitespace
+    text) must build a valid empty index on BOTH lexicon routes — the
+    driver fast path used to crash on empty-schema inference after the
+    lexicon dir was already swapped in."""
+    import groonga_spark.build as B
+
+    docs = spark.createDataFrame(
+        [(0, "   "), (1, ""), (2, " \t ")], "doc_id long, text string"
+    )
+    for name, cap in (("driver", B.LEXICON_DRIVER_MAX), ("dist", 0)):
+        monkeypatch.setattr(B, "LEXICON_DRIVER_MAX", cap)
+        path = str(tmp_path / f"empty_{name}")
+        build_index(spark, docs, path, mode="delimit", segment_size=10)
+        store = IndexStore(path)
+        assert spark.read.parquet(store.p("lexicon")).count() == 0
+        idx = FulltextIndex(spark, path)
+        assert idx.meta["n_docs"] == 3
+        assert idx.search("anything", 10, use_cache=False).count() == 0
+
+
+def test_dataframe_delete_compacts_small_sets(spark, corpus, tmp_path):
+    """A small DataFrame-form delete must adopt ONE tombstone file, not
+    one near-empty part per shuffle partition (repeated small deletes
+    would otherwise inflate every per-query footer scan), and the
+    per-plan row estimate must be cached between queries."""
+    docs, rows = corpus
+    path = str(tmp_path / "compact_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    doomed = sorted(d for d, _ in rows)[:40]
+    idx.delete_docs(spark.createDataFrame([(int(d),) for d in doomed],
+                                          "doc_id long"))
+    d = idx.store.p("tombstones")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+
+    got = {r["doc_id"] for r in idx.match_docs("spark").collect()}
+    assert not (got & set(doomed))
+
+    # estimate caching: first call computes, second must not re-open
+    # footers (delete_docs/generation changes invalidate the cache)
+    assert idx._tombstone_rows_estimate() == 40
+    import pyarrow.parquet as pq
+
+    def boom(*a, **k):
+        raise AssertionError("footer re-opened despite cache")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pq, "ParquetFile", boom):
+        assert idx._tombstone_rows_estimate() == 40
+    idx.delete_docs([10**9])  # invalidates; next call recomputes
+    assert idx._tombstone_rows_estimate() == 41
