@@ -1003,6 +1003,22 @@ def q_ft_multifield(spark, sf):
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (similarity.ivf_bucketed_topk) probed at
+    nprobe == n_centroids: the cluster assignment PARTITIONS the corpus,
+    so the full probe is EXACT by construction — the oracle is the
+    brute-force cosine top-k, proving the quantizer/routing plumbing
+    loses and duplicates nothing. Pruned-nprobe recall is pytest-covered
+    on planted clusters (test_pipeline_ops)."""
+    from groonga_spark.similarity import ivf_bucketed_topk
+
+    emb = _t(spark, sf, "embeddings")
+    row = (emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0])
+    probe = [float(x) for x in row["embedding"]]
+    return ivf_bucketed_topk(emb, probe, k=10, n_centroids=8, nprobe=8,
+                             exclude_id=7)
+
+
 # -- rows-only checks (non-SQL-expressible: WAND internals, LSH-ANN, lineage)
 
 def q_ann_lsh(spark, sf):
@@ -1116,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_neg_offset": q_select_neg_offset,
         "highlight_tags": q_highlight_tags,
         "index_df_ratio": q_index_df_ratio,
+        "ann_ivf": q_ann_ivf,
         # fulltext core (SURVEY.md §2.9)
         "term_df": q_term_df,
         "ft_match_single": q_ft_match_single,
@@ -1729,6 +1746,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round({cos.format(a='e.v', b='probe.p')}, 4) AS sim
             FROM e, probe WHERE vec_id <> 0
+            ORDER BY {cos.format(a='e.v', b='probe.p')} DESC, vec_id
+            LIMIT 10""",
+        "ann_ivf": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            probe AS (SELECT v AS p FROM e WHERE vec_id = 7)
+            SELECT vec_id,
+                   round({cos.format(a='e.v', b='probe.p')}, 4) AS sim
+            FROM e, probe WHERE vec_id <> 7
             ORDER BY {cos.format(a='e.v', b='probe.p')} DESC, vec_id
             LIMIT 10""",
         "embedding_dups": _emb_lsh_dups_sql(cos),

@@ -382,3 +382,76 @@ def test_ngram_jaccard_prefix_skips_head_shingles(spark):
     )
     head_in_prefix = ranked.filter(F.col("shingle") == "the same head").count()
     assert head_in_prefix == 0
+
+
+def test_ivf_full_probe_is_exact(spark, emb, emb_rows):
+    """nprobe == n_centroids must reproduce the exact brute-force top-k:
+    the cluster assignment PARTITIONS the corpus, so probing every
+    cluster loses and duplicates nothing."""
+    from groonga_spark.similarity import cosine_topk, ivf_bucketed_topk
+
+    probe = emb_rows[0]
+    want = [(r["vec_id"], r["sim"]) for r in
+            cosine_topk(emb, list(probe), k=10, exclude_id=0).collect()]
+    got = [(r["vec_id"], r["sim"]) for r in
+           ivf_bucketed_topk(emb, list(probe), k=10, n_centroids=8,
+                             nprobe=8, exclude_id=0).collect()]
+    assert got == want
+
+
+def test_ivf_assignment_partitions_corpus(spark, emb):
+    """Every vector lands in exactly one cluster in [0, k)."""
+    from pyspark.sql import functions as F
+
+    from groonga_spark.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids=8)
+    assert len(cents) == 8
+    a = ivf_assign(emb, cents)
+    assert a.count() == emb.count()
+    rng = a.agg(F.min("cluster"), F.max("cluster")).first()
+    assert rng[0] >= 0 and rng[1] < 8
+    # deterministic: same centroids + same data -> identical assignment
+    b = ivf_assign(emb, cents)
+    assert (a.select("vec_id", "cluster").exceptAll(
+        b.select("vec_id", "cluster")).count() == 0)
+
+
+def test_ivf_pruned_probe_recall_on_planted_clusters(spark):
+    """nprobe < n_centroids prunes the scan but must keep near-perfect
+    recall when the data IS clustered (the IVF premise; the sf
+    embeddings table is near-uniform in 64-dim, where no ANN structure
+    can beat brute force -- the full-probe exactness test covers it).
+    8 planted clusters, members = center + small deterministic noise."""
+    import hashlib as _h
+
+    from groonga_spark.similarity import cosine_topk, ivf_bucketed_topk
+
+    def unit(seed, dim=32):
+        v = np.array([int(_h.md5(f"{seed}|{d}".encode()).hexdigest()[:4], 16)
+                      - 0x8000 for d in range(dim)], float)
+        return v / np.linalg.norm(v)
+
+    rows, centers = [], []
+    vid = 0
+    for c in range(8):
+        base = unit(f"c{c}")
+        centers.append(base)
+        for m in range(40):
+            v = base + 0.15 * unit(f"c{c}m{m}")
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, v) for i, _c, v in rows], "vec_id long, embedding array<double>"
+    )
+    hits = tot = 0
+    for pid in (0, 45, 170, 290):
+        probe = rows[pid][2]
+        want = {r["vec_id"] for r in
+                cosine_topk(df, probe, k=10, exclude_id=pid).collect()}
+        got = {r["vec_id"] for r in
+               ivf_bucketed_topk(df, probe, k=10, n_centroids=8,
+                                 nprobe=2, exclude_id=pid).collect()}
+        hits += len(got & want)
+        tot += len(want)
+    assert hits / tot >= 0.95, (hits, tot)
