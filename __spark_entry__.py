@@ -1770,7 +1770,9 @@ def oracle_sql() -> dict[str, str]:
                      AS frame_no,
                    unnest(range(least((n - 1) // 64 + 1, 16)))::BIGINT * 64
                      AS byte_offset
-            FROM m WHERE n > 0""",
+            FROM m WHERE n > 0
+            UNION ALL
+            SELECT doc_id, NULL, NULL FROM m WHERE n = 0""",
         # CJK bigram mode: both engines derive the corpus from doc_id
         # arithmetic; the 4-char query's bigram+trailing-unigram adjacency
         # chain matches exactly whole-word occurrences (all words 4 chars)

@@ -61,8 +61,19 @@ class TableIO:
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         if self.backend == "iceberg":
-            df.writeTo(self.location).createOrReplace() if mode == "overwrite" \
-                else df.writeTo(self.location).append()
+            # mirror the parquet backend's mode semantics — 'error' and
+            # 'ignore' must not silently append
+            if mode == "overwrite":
+                df.writeTo(self.location).createOrReplace()
+            elif mode == "append":
+                df.writeTo(self.location).append()
+            elif mode in ("error", "errorifexists"):
+                df.writeTo(self.location).create()  # raises if it exists
+            elif mode == "ignore":
+                if not self.spark.catalog.tableExists(self.location):
+                    df.writeTo(self.location).create()
+            else:
+                raise ValueError(f"unsupported write mode {mode!r}")
             return
         df.write.mode(mode).parquet(self.location)
 

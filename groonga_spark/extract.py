@@ -55,6 +55,12 @@ def canonical_url(col):
     from pyspark.sql import functions as F
 
     u = F.regexp_replace(col, r"#.*$", "")                    # fragment
+    # scheme-less crawl records ('www.example.com/a', protocol-relative
+    # '//host/p') default to http so they group with their canonical
+    # form instead of yielding a malformed '://...' string
+    u = F.when(
+        u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), u
+    ).otherwise(F.concat(F.lit("http://"), F.regexp_replace(u, r"^//", "")))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)

@@ -48,16 +48,22 @@ def upsert(existing: DataFrame, incoming: DataFrame, key: str,
     One window over the union — no driver data movement; at scale this
     is Iceberg ``MERGE INTO`` with the same semantics.
     """
-    a = existing.withColumn("_src", F.lit(0))
-    b = incoming.withColumn("_src", F.lit(1))
+    a = existing.withColumn("_src", F.lit(0)).withColumn(
+        "_pos", F.lit(-1).cast("long"))
+    # _pos: payload position so intra-batch duplicate keys resolve to
+    # the LAST record in the payload (Groonga load order semantics) —
+    # for a payload-built incoming frame monotonically_increasing_id
+    # follows (partition, row) order, i.e. the payload listing
+    b = incoming.withColumn("_src", F.lit(1)).withColumn(
+        "_pos", F.monotonically_increasing_id())
     both = a.unionByName(b, allowMissingColumns=True)
     order = (
-        [F.desc(version_col), F.desc("_src")] if version_col
-        else [F.desc("_src")]
+        [F.desc(version_col), F.desc("_src"), F.desc("_pos")] if version_col
+        else [F.desc("_src"), F.desc("_pos")]
     )
     w = Window.partitionBy(key).orderBy(*order)
     return (
         both.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        .drop("_rn", "_src", "_pos")
     )

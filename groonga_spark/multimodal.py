@@ -128,9 +128,12 @@ def frame_sample_offsets(media: DataFrame, every_n_bytes: int = 1 << 16,
             1, max_frames,
         ),
     ).otherwise(F.array().cast("array<long>"))
+    # posexplode_OUTER: empty/null payloads keep their media row (one
+    # NULL-frame row) instead of silently vanishing — a left join by
+    # media_id downstream still sees the item
     return media.select(
         "media_id",
-        F.posexplode(offs).alias("frame_no", "byte_offset"),
+        F.posexplode_outer(offs).alias("frame_no", "byte_offset"),
     )
 
 

@@ -79,16 +79,20 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.2,
     from pyspark.sql import Window as W
 
     w = W.partitionBy("fingerprint").orderBy("doc_id")
+    # persist the exact-dedup survivors: the tokenize+fingerprint+window
+    # lineage above is the expensive pre-near-dup stage and BOTH counts
+    # below consume it — uncached it would execute twice
     exact_keep = (
         stats.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-    )
+    ).persist()
     quality_keep = exact_keep.filter(F.col("quality") >= min_quality)
     if langs:
         quality_keep = quality_keep.filter(F.col("pred_lang").isin(langs))
     kept_ids = quality_keep.select("doc_id").persist()
     n_exact = exact_keep.count()
-    n_quality = kept_ids.count()
+    n_quality = kept_ids.count()  # materializes kept_ids off the cache
+    exact_keep.unpersist()
 
     base = docs.join(kept_ids.withColumnRenamed("doc_id", id_col), id_col,
                      "left_semi")

@@ -57,6 +57,19 @@ def rk_expand(romaji: str) -> list[str]:
         if not s:
             out.add(acc)
             return
+        # Hepburn n': explicit syllabic ン before a vowel/y (kon'nichiwa
+        # → コンニチワ) — without the apostrophe "n"+vowel reads as the
+        # ナ-row syllable
+        if s.startswith("n'"):
+            go(s[2:], acc + "ン")
+            return
+        # Hepburn writes the sokuon before ch as t (matcha → マッチャ)
+        if s.startswith("tch"):
+            go(s[1:], acc + "ッ")
+            return
+        if s == "tc":  # partial of tch…: every continuation is ッチ…
+            out.add(acc + "ッチ")
+            return
         # sokuon: doubled consonant (tta → ッタ); "n" before consonant is
         # the syllabic ン handled by the table entry "n"
         if (len(s) >= 2 and s[0] == s[1] and s[0] in _CONSONANTS

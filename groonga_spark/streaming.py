@@ -13,9 +13,11 @@ points:
 
 - ``stream_build``: Structured Streaming — ``foreachBatch`` over any
   streaming source; each micro-batch appends its docs as segments via
-  the same resumable machinery. Spark's checkpoint gives exactly-once
-  batch delivery; segment lineage makes the index side idempotent, so
-  replays are harmless.
+  the same resumable machinery. foreachBatch is AT-LEAST-once (a crash
+  between the sink write and the checkpoint commit replays the epoch),
+  so the corpus sink is epoch-keyed — a replayed batch OVERWRITES its
+  own ``epoch=<id>`` partition instead of appending duplicates — and
+  segment lineage makes the index side idempotent.
 
 The reference is NOT a streaming engine — no watermarks/session windows
 are built here (SURVEY.md §2.10: not a capability of the reference).
@@ -72,13 +74,30 @@ def stream_build(
     """
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(corpus_path)
-        all_docs = spark.read.parquet(corpus_path)
-        append_docs(spark, all_docs, index_path, mode=mode,
-                    segment_size=segment_size, shard_size=shard_size)
+        _append_epoch(batch_df, epoch_id, corpus_path, index_path,
+                      mode=mode, segment_size=segment_size,
+                      shard_size=shard_size)
 
     return (
         stream_docs.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def _append_epoch(batch_df: DataFrame, epoch_id: int, corpus_path: str,
+                  index_path: str, mode: str | None = None,
+                  segment_size: int | None = None,
+                  shard_size: int | None = None) -> None:
+    """One foreachBatch body — idempotent under replay: foreachBatch
+    delivers at-least-once, so the epoch's rows OVERWRITE the epoch's
+    own ``epoch=<id>`` partition dir (a replay lands in the same place,
+    never appends to a shared one); the index side is idempotent via
+    segment lineage."""
+    import os
+
+    spark = batch_df.sparkSession
+    (batch_df.write.mode("overwrite")
+     .parquet(os.path.join(corpus_path, f"epoch={int(epoch_id)}")))
+    all_docs = spark.read.parquet(corpus_path).drop("epoch")
+    append_docs(spark, all_docs, index_path, mode=mode,
+                segment_size=segment_size, shard_size=shard_size)

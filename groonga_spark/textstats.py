@@ -46,14 +46,29 @@ def bpe_token_count(text_col) -> Column:
 
 
 def stopword_ratio(text_col, lang: str = "en") -> Column:
+    # try_divide + coalesce: an empty/whitespace-only doc (0 tokens) is
+    # ratio 0.0, not DIVIDE_BY_ZERO under Spark 4's default ANSI mode
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     ws = words(text_col)
-    return F.size(F.filter(ws, lambda x: F.array_contains(sw, x))) / F.size(ws)
+    return F.coalesce(
+        F.try_divide(
+            F.size(F.filter(ws, lambda x: F.array_contains(sw, x))),
+            F.size(ws),
+        ),
+        F.lit(0.0),
+    )
 
 
 def avg_word_len(text_col) -> Column:
-    """Mean token length = non-space chars / token count."""
-    return F.length(F.regexp_replace(text_col, " ", "")) / ws_token_count(text_col)
+    """Mean token length = non-space chars / token count (0.0 for an
+    empty doc — ANSI-safe, see stopword_ratio)."""
+    return F.coalesce(
+        F.try_divide(
+            F.length(F.regexp_replace(text_col, " ", "")),
+            ws_token_count(text_col),
+        ),
+        F.lit(0.0),
+    )
 
 
 def quality_score(text_col) -> Column:

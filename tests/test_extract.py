@@ -57,3 +57,22 @@ def test_canonical_url(spark):
     got = [r["c"] for r in
            df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_canonical_url_schemeless_defaults_to_http(spark):
+    from pyspark.sql import functions as F
+
+    from groonga_spark.extract import canonical_url
+
+    df = spark.createDataFrame(
+        [("www.example.com/a?b=1",),
+         ("//CDN.Example.com/x",),
+         ("HTTP://Example.COM:80/a?utm_source=s&id=2#f",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [
+        "http://www.example.com/a?b=1",
+        "http://cdn.example.com/x",
+        "http://example.com/a?id=2",
+    ]

@@ -247,3 +247,27 @@ def test_resume_adopts_segment_geometry(spark, tmp_path):
     assert lex["alpha"] == 120 and lex["gamma"] == 40  # no double counting
     assert idx.match_docs("alpha").count() == 120
     assert idx.match_docs("gamma").count() == 40
+
+
+def test_stream_batch_replay_is_idempotent(spark, docs, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch (crash between
+    the sink write and the checkpoint commit) must not duplicate corpus
+    rows or double-count postings."""
+    from groonga_spark.streaming import _append_epoch
+
+    corpus = str(tmp_path / "replay_corpus")
+    idx = str(tmp_path / "replay_idx")
+
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+    _append_epoch(b0, 0, corpus, idx, segment_size=200)
+    _append_epoch(b1, 1, corpus, idx, segment_size=200)
+    n = spark.read.parquet(corpus).count()
+    assert n == docs.count()
+
+    _append_epoch(b1, 1, corpus, idx, segment_size=200)  # replay epoch 1
+    assert spark.read.parquet(corpus).count() == n
+
+    path2 = str(tmp_path / "replay_batch")
+    build_index(spark, docs, path2, mode="delimit", segment_size=200)
+    assert _postings_rows(spark, idx) == _postings_rows(spark, path2)

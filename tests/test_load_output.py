@@ -56,3 +56,47 @@ def test_tableio_parquet_backend(spark, tmp_path):
     io.write(spark.range(3).withColumnRenamed("id", "x"), mode="append")
     assert io.read().count() == 8
     assert io.incremental_read(None).count() == 8
+
+
+def test_upsert_intra_batch_duplicate_keys_last_wins(spark):
+    """Groonga load semantics: when one payload repeats a _key, the LAST
+    record in the payload wins — deterministically, not by shuffle."""
+    from groonga_spark.load import load_json, upsert
+
+    existing = spark.createDataFrame([("a", "old"), ("b", "keep")],
+                                     "_key string, text string")
+    incoming = load_json(spark, [
+        {"_key": "a", "text": "v1"},
+        {"_key": "a", "text": "v2"},
+        {"_key": "a", "text": "v3"},
+    ], schema="_key string, text string")
+    for _ in range(3):  # stable across repeated evaluations
+        got = {r["_key"]: r["text"]
+               for r in upsert(existing, incoming, "_key").collect()}
+        assert got == {"a": "v3", "b": "keep"}
+
+
+def test_tsv_escapes_structural_characters(spark):
+    from groonga_spark.output import to_tsv
+
+    df = spark.createDataFrame(
+        [(1, "tab\there"), (2, "new\nline"), (3, "back\\slash")],
+        "id long, text string",
+    )
+    tsv = to_tsv(df.orderBy("id"))
+    lines = tsv.split("\n")
+    assert len(lines) == 4  # header + 3 rows, embedded newline escaped
+    assert lines[1] == "1\ttab\\there"
+    assert lines[2] == "2\tnew\\nline"
+    assert lines[3] == "3\tback\\\\slash"
+
+
+def test_to_arrow_keeps_nullable_ints(spark):
+    import pyarrow as pa
+
+    from groonga_spark.output import to_arrow
+
+    df = spark.createDataFrame([(1,), (None,)], "v long")
+    tbl = to_arrow(df)
+    assert tbl.schema.field("v").type == pa.int64()
+    assert tbl.column("v").null_count == 1

@@ -455,3 +455,35 @@ def test_ivf_pruned_probe_recall_on_planted_clusters(spark):
         hits += len(got & want)
         tot += len(want)
     assert hits / tot >= 0.95, (hits, tot)
+
+
+def test_token_stats_empty_doc_is_ansi_safe(spark):
+    """Empty / whitespace-only docs must yield ratio 0.0, not a
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    from groonga_spark.textstats import token_stats
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "real words here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert rows[0]["n_tokens"] == 0
+    assert rows[0]["stop_ratio"] == 0.0
+    assert rows[0]["avg_word_len"] == 0.0
+    assert rows[1]["stop_ratio"] == 0.0
+    assert rows[2]["n_tokens"] == 3
+
+
+def test_frame_sample_offsets_keeps_empty_media(spark):
+    """Empty-payload media keep one NULL-frame row instead of silently
+    vanishing from the output."""
+    from groonga_spark.multimodal import frame_sample_offsets
+
+    media = spark.createDataFrame(
+        [(0, bytearray(b"0123456789" * 20)), (1, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    got = frame_sample_offsets(media, every_n_bytes=64, max_frames=4)
+    rows = {r["media_id"]: r for r in got.collect()}
+    assert 1 in rows and rows[1]["frame_no"] is None
+    assert got.filter("media_id = 0").count() == 4

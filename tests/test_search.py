@@ -1134,3 +1134,14 @@ def test_dataframe_delete_compacts_small_sets(spark, corpus, tmp_path):
         assert idx._tombstone_rows_estimate() == 40
     idx.delete_docs([10**9])  # invalidates; next call recomputes
     assert idx._tombstone_rows_estimate() == 41
+
+
+def test_rk_expand_hepburn_n_apostrophe_and_tch(spark):
+    """Standard Hepburn inputs the table used to dead-end on: n' (the
+    explicit syllabic ン before a vowel) and the tch sokuon spelling."""
+    from groonga_spark.rk import rk_expand
+
+    assert rk_expand("kon'na") == ["コンナ"]
+    assert rk_expand("matchi") == ["マッチ"]
+    assert rk_expand("matcha") == ["マッチャ"]
+    assert "マッチ" in rk_expand("matc")
