@@ -43,11 +43,7 @@ def vb_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if len(v) == 0:
         return b""
-    nbytes = np.ones(len(v), np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
+    nbytes = vb_nbytes(v)
     total = int(nbytes.sum())
     ends = np.cumsum(nbytes)
     starts = ends - nbytes

@@ -223,6 +223,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     drops degenerate buckets (> cap members) before the quadratic
     self-join — the explicit skew guard.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): trailing hashes would be silently ignored, "
+            "changing the LSH operating point"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
     bk = lsh_band_buckets(sig, bands, rows_per_band)

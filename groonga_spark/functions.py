@@ -190,28 +190,46 @@ def snippet_udf(keywords: list[str], width: int = 100, max_n: int = 3,
     return _snip
 
 
-def highlight_html_udf(keywords: list[str]):
-    """Wrap keyword hits in <span class="keyword">…</span> after HTML-
-    escaping, like [G: lib/proc/proc_highlight.c · highlight_html].
+def _html_esc(x: str) -> str:
+    """html.escape(quote=False) semantics, shared by the highlighters."""
+    return x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-    Fully vectorized pandas `.str` chain: three literal replaces for the
-    escape (&, <, > — html.escape(quote=False) semantics) then ONE regex
-    replace with a string template — no per-row Python, no per-match
-    lambdas."""
+
+def highlight_html_udf(keywords: list[str]):
+    """Wrap keyword hits in <span class="keyword">…</span> with the
+    surrounding text HTML-escaped, like [G: lib/proc/proc_highlight.c ·
+    highlight_html]. Matching runs on the SOURCE text — escaping first
+    would stop keywords containing & < > from ever matching and let
+    keywords match INSIDE generated entities ('lt' in '&lt;'), the
+    reference scans the raw column.
+
+    Rows without any of & < > take a vectorized `.str.replace` (escape
+    is the identity there, so match-then-escape ≡ the single template
+    replace); only rows carrying escapable characters pay the per-row
+    segment walk."""
     from pyspark.sql import types as T
 
     pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
+    tmpl = r'<span class="keyword">\g<0></span>'
+
+    def _one(text: str) -> str:
+        out, last = [], 0
+        for m in pat.finditer(text):
+            out.append(_html_esc(text[last:m.start()]))
+            out.append(f'<span class="keyword">{_html_esc(m.group(0))}</span>')
+            last = m.end()
+        out.append(_html_esc(text[last:]))
+        return "".join(out)
 
     @F.pandas_udf(T.StringType())
     def _hl(s: pd.Series) -> pd.Series:
-        esc = (
-            s.str.replace("&", "&amp;", regex=False)
-            .str.replace("<", "&lt;", regex=False)
-            .str.replace(">", "&gt;", regex=False)
-        )
-        return esc.str.replace(
-            pat, r'<span class="keyword">\g<0></span>', regex=True
-        )
+        mask = s.str.contains(r"[&<>]", regex=True, na=False)
+        if not mask.any():
+            return s.str.replace(pat, tmpl, regex=True)
+        out = s.copy()
+        out[~mask] = s[~mask].str.replace(pat, tmpl, regex=True)
+        out[mask] = s[mask].map(_one, na_action="ignore")
+        return out
 
     return _hl
 
@@ -242,9 +260,7 @@ def highlight_udf(spec: list[tuple[str, str, str]],
         o, c = tags[m.lastindex - 1]
         return f"{o}{m.group(0)}{c}"
 
-    def _esc(x: str) -> str:
-        return (x.replace("&", "&amp;")
-                 .replace("<", "&lt;").replace(">", "&gt;"))
+    _esc = _html_esc
 
     def _one_escape(text: str) -> str:
         # match on the SOURCE text (escaping first would break keywords
@@ -407,6 +423,12 @@ def vector_join(col, sep: str) -> Column:
 
 
 def between(col, lo, lo_border: str, hi, hi_border: str) -> Column:
+    for b in (lo_border, hi_border):
+        if b not in ("include", "exclude"):
+            # the reference rejects unknown border specifiers; treating a
+            # typo ('inclusive') as exclusive silently drops boundary rows
+            raise ValueError(f"between border must be 'include' or "
+                             f"'exclude', got {b!r}")
     left = col >= lo if lo_border == "include" else col > lo
     right = col <= hi if hi_border == "include" else col < hi
     return left & right

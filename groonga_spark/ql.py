@@ -177,6 +177,10 @@ def parse_query(q: str):
                 return Similar(take()[1])
             if len(val) > 1 and val.endswith("*") and not val.endswith("\\*"):
                 return Prefix(val[:-1])
+            if val.endswith("\\*"):
+                # escaped literal star: strip the backslash so the Term
+                # carries the text the documents actually contain
+                return Term(val[:-2] + "*")
             return Term(val)
         take()
         return None
@@ -254,6 +258,15 @@ def rewrite(node, fn):
         child = rewrite(node.child, fn)
         return Not(child) if child is not None else None
     kids = [rewrite(c, fn) for c in node.children]
+    if isinstance(node, And) and any(
+        k is None and not isinstance(c, Not)
+        for c, k in zip(node.children, kids)
+    ):
+        # a positive conjunct that rewrote to NOTHING empties the whole
+        # conjunction — silently dropping it would loosen the query to
+        # the remaining terms. (A vanished NEGATION is just no
+        # subtraction, so Not children may drop.)
+        return None
     kids = [k for k in kids if k is not None]
     if not kids:
         return None

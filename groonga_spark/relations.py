@@ -15,12 +15,17 @@ def ref_join(df: DataFrame, dim: DataFrame, fk: str, pk: str,
     """Reference-column traversal ``a.b.c`` [G: lib/db.c ·
     grn_obj_column, accessor chain]: an N:1 lookup — broadcast hash join
     (dimensions are small by construction in the reference's model)."""
-    d = dim.select(pk, *(cols or [c for c in dim.columns if c != pk]))
+    # alias the dimension key to a private name: Dataset.drop(name)
+    # removes EVERY column with that name, so dropping the raw ``pk``
+    # would also delete the fact table's join column when fk == pk
+    d = dim.select(F.col(pk).alias("__ref_pk"),
+                   *(cols or [c for c in dim.columns if c != pk]))
     if prefix:
         for c in d.columns:
-            if c != pk:
+            if c != "__ref_pk":
                 d = d.withColumnRenamed(c, prefix + c)
-    return df.join(F.broadcast(d), df[fk] == d[pk], "left").drop(pk)
+    return (df.join(F.broadcast(d), df[fk] == d["__ref_pk"], "left")
+            .drop("__ref_pk"))
 
 
 def sub_filter(parent: DataFrame, child: DataFrame, parent_key: str,

@@ -20,13 +20,23 @@ def package_zip() -> str:
     path — the artifact a ``spark-submit --py-files engine.zip`` deploy
     ships to every executor."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "groonga_spark_pkg.zip")
+    # per-user cache path: a fixed shared-/tmp name would (a) crash on
+    # another user's sticky-bit-protected file and (b) let a stale or
+    # foreign zip win the mtime check and get shipped to executors
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"groonga_spark_pkg_{os.getuid()}.zip"
+    )
     if not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
         os.path.getmtime(os.path.join(pkg_dir, f))
         for f in os.listdir(pkg_dir)
         if f.endswith(".py")
     ):
-        tmp = zpath + ".tmp"
+        # unique temp name + atomic replace: two concurrent runs must
+        # not interleave writes into one half-built .tmp
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip.tmp", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w") as z:
             for f in sorted(os.listdir(pkg_dir)):
                 if f.endswith(".py"):

@@ -112,3 +112,12 @@ def test_pfor_beats_varbyte_on_small_gap_blocks():
     gaps = rng.integers(1, 50, 127).astype(np.uint64)
     block = np.concatenate([[np.uint64(1_900_000_000)], gaps])
     assert len(pfor_encode(block)) <= len(vb_encode(block))
+
+
+def test_minhash_lsh_rejects_indivisible_bands():
+    import pytest as _pytest
+
+    from groonga_spark.dedup import minhash_lsh_pairs
+
+    with _pytest.raises(ValueError, match="divide evenly"):
+        minhash_lsh_pairs(None, num_hashes=10, bands=4)

@@ -35,12 +35,20 @@ def _snippet_ref(text, keywords, width, max_n, open_tag, close_tag):
 
 
 def _highlight_ref(text, keywords):
+    # reference semantics: match on the SOURCE text, then escape the
+    # non-tag segments (escaping first would break &/</> keywords and
+    # let keywords match inside generated entities)
     pat = re.compile("|".join(re.escape(k) for k in keywords), re.IGNORECASE)
     if text is None:
         return None
-    esc = _html.escape(text, quote=False)
-    return pat.sub(
-        lambda m: f'<span class="keyword">{m.group(0)}</span>', esc)
+    out, last = [], 0
+    for m in pat.finditer(text):
+        out.append(_html.escape(text[last:m.start()], quote=False))
+        out.append('<span class="keyword">'
+                   f'{_html.escape(m.group(0), quote=False)}</span>')
+        last = m.end()
+    out.append(_html.escape(text[last:], quote=False))
+    return "".join(out)
 
 
 def _texts():
@@ -224,3 +232,25 @@ def test_highlight_escape_matches_on_source_text(spark):
     assert got[0] == "<b>AT&amp;T</b> rocks"
     assert got[1] == "<i>x&lt;y</i> and <b>AT&amp;T</b>"
     assert got[2] == "no match here"
+
+
+def test_between_rejects_unknown_border(spark):
+    from groonga_spark.functions import between
+
+    with pytest.raises(ValueError, match="border"):
+        between(F.col("x"), 0, "inclusive", 10, "include")
+
+
+def test_highlight_html_matches_on_source(spark):
+    """Keywords containing escapable chars must match, and keywords must
+    NOT match inside generated entities ('lt' in '&lt;')."""
+    from groonga_spark.functions import highlight_html_udf
+
+    df = spark.createDataFrame(
+        [("AT&T wins",), ("a < b lt here",)], "text string"
+    )
+    got = [r[0] for r in
+           df.select(highlight_html_udf(["AT&T", "lt"])(F.col("text")))
+           .collect()]
+    assert got[0] == '<span class="keyword">AT&amp;T</span> wins'
+    assert got[1] == 'a &lt; b <span class="keyword">lt</span> here'

@@ -83,3 +83,25 @@ def test_phrase_backslash_escapes():
     assert p2.text == "back\\slash"
     p3 = parse_query('"unterminated')
     assert p3.text == "unterminated"
+
+
+def test_escaped_literal_star_is_unescaped():
+    """foo\\* is a literal-star TERM, not a prefix — and the backslash
+    must be stripped so the term text matches what documents contain."""
+    from groonga_spark.ql import Prefix, Term, parse_query
+
+    ast = parse_query("foo\\*")
+    assert isinstance(ast, Term) and ast.text == "foo*"
+    assert isinstance(parse_query("foo*"), Prefix)
+
+
+def test_rewrite_none_conjunct_empties_and():
+    """A positive AND conjunct rewriting to None (matches nothing) must
+    empty the conjunction, not silently loosen it; a Not child rewriting
+    to None is just no subtraction."""
+    from groonga_spark.ql import And, Not, Term, rewrite
+
+    drop_missing = lambda leaf: None if leaf.text == "missing" else leaf
+    assert rewrite(And([Term("missing"), Term("x")]), drop_missing) is None
+    kept = rewrite(And([Term("x"), Not(Term("missing"))]), drop_missing)
+    assert isinstance(kept, Term) and kept.text == "x"

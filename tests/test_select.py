@@ -524,3 +524,19 @@ def test_dot_path_chained_accessors(spark):
             output_columns=["doc_id"],
             limit=-1,
         ).hits.collect()
+
+
+def test_ref_join_same_named_fk_pk_keeps_key(spark):
+    """fk == pk (the common shared-name foreign key): the join key
+    column must survive — Dataset.drop(name) removes every column with
+    that name, so the dimension key needs a private alias."""
+    from groonga_spark.relations import ref_join
+
+    orders = spark.createDataFrame([(0, 7), (1, 8)],
+                                   "order_id long, user_id long")
+    users = spark.createDataFrame([(7, "u7"), (8, "u8")],
+                                  "user_id long, name string")
+    out = ref_join(orders, users, fk="user_id", pk="user_id")
+    assert "user_id" in out.columns
+    assert {(r["order_id"], r["user_id"], r["name"])
+            for r in out.collect()} == {(0, 7, "u7"), (1, 8, "u8")}
