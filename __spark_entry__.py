@@ -68,33 +68,18 @@ def _index(spark: SparkSession, sf_dir: str):
         tempfile.gettempdir(),
         "gs_idx_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
     )
-    stale = True
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        import json as _json
+    # rebuild unless the on-disk index matches the CURRENT engine
+    # contract by VALUE (a key-presence sniff served stale /tmp indexes
+    # across engine versions) — build.index_is_current holds the rule
+    from groonga_spark.build import index_is_current
 
-        with open(meta_path) as f:
-            m = _json.load(f)
-        # rebuild unless the on-disk index matches the CURRENT engine
-        # contract by VALUE (a key-presence sniff served stale /tmp
-        # indexes across engine versions): format, tokenizer mode,
-        # normalizer version, and the corpus row count must all agree
-        from groonga_spark.normalize import NORMALIZER_VERSION
+    import duckdb as _duck
 
-        import duckdb as _duck
-
-        n_docs_now = _duck.sql(
-            f"SELECT count(*) FROM "
-            f"'{os.path.join(sf_dir, 'documents.parquet')}'"
-        ).fetchone()[0]
-        stale = not (
-            m.get("format_version") == 1
-            and "shard_size" in m
-            and "max_doc_id" in m
-            and m.get("tokenizer_mode") == "delimit"
-            and m.get("normalizer_version") == NORMALIZER_VERSION
-            and m.get("n_docs") == n_docs_now
-        )
+    n_docs_now = _duck.sql(
+        f"SELECT count(*) FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchone()[0]
+    stale = not index_is_current(path, n_docs=n_docs_now, mode="delimit")
     if stale:
         import shutil as _shutil
 
@@ -754,6 +739,30 @@ SELECT doc_id FROM keep WHERE doc_id NOT IN (SELECT d2 FROM losers)
 """
 
 
+# -- derived-corpus index fixtures ------------------------------------------
+
+def _derived_index(spark: SparkSession, sf_dir: str, cache: dict,
+                   prefix: str, builder):
+    """Shared scaffold for the derived-corpus index fixtures below: one
+    handle per (Spark app id, sf_dir) — a handle cached for a stopped
+    session must never be served to a new one — built fresh under a
+    /tmp path keyed on the sf_dir (rmtree + rebuild on first use: these
+    corpora are tiny and derived, so a clean rebuild beats staleness
+    bookkeeping). ``builder(spark, sf_dir, path)`` builds the index at
+    ``path`` and returns the handle."""
+    import shutil as _shutil
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in cache:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            prefix + hashlib.md5(key[1].encode()).hexdigest()[:10],
+        )
+        _shutil.rmtree(path, ignore_errors=True)
+        cache[key] = builder(spark, sf_dir, path)
+    return cache[key]
+
+
 # -- CJK bigram mode (driver-graded flagship-tokenizer check) ---------------
 
 def _cjk_word(d: int, w: int) -> str:
@@ -769,32 +778,21 @@ def _cjk_index(spark: SparkSession, sf_dir: str):
     documents table's doc ids (4-char words; both engines rebuild the
     corpus from doc_id arithmetic, so the DuckDB oracle needs no shared
     files)."""
-    from groonga_spark.build import build_index
-    from groonga_spark.search import FulltextIndex
+    def _build(spark, sf_dir, path):
+        from groonga_spark.build import build_index
+        from groonga_spark.search import FulltextIndex
 
-    # key includes the Spark app id: a handle cached for a stopped
-    # session must not be served to a new one
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in _CJK_CACHE:
-        return _CJK_CACHE[key]
-    ids = [r["doc_id"] for r in
-           _t(spark, sf_dir, "documents").select("doc_id").collect()]
-    rows = [
-        (d, " ".join(_cjk_word(d, w) for w in range(d % 4 + 2)))
-        for d in sorted(ids)
-    ]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gs_cjk_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
-    )
-    import shutil as _shutil
+        ids = [r["doc_id"] for r in
+               _t(spark, sf_dir, "documents").select("doc_id").collect()]
+        rows = [
+            (d, " ".join(_cjk_word(d, w) for w in range(d % 4 + 2)))
+            for d in sorted(ids)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, docs, path, mode="bigram")
+        return FulltextIndex(spark, path)
 
-    _shutil.rmtree(path, ignore_errors=True)
-    build_index(spark, docs, path, mode="bigram")
-    idx = FulltextIndex(spark, path)
-    _CJK_CACHE[key] = idx
-    return idx
+    return _derived_index(spark, sf_dir, _CJK_CACHE, "gs_cjk_", _build)
 
 
 def q_ft_bigram(spark, sf):
@@ -823,26 +821,15 @@ _FILT_CACHE: dict[str, object] = {}
 
 
 def _filtered_index(spark: SparkSession, sf_dir: str):
-    from groonga_spark.build import build_index
-    from groonga_spark.search import FulltextIndex
+    def _build(spark, sf_dir, path):
+        from groonga_spark.build import build_index
+        from groonga_spark.search import FulltextIndex
 
-    # key includes the Spark app id: a handle cached for a stopped
-    # session must not be served to a new one
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in _FILT_CACHE:
-        return _FILT_CACHE[key]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gs_filt_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
-    )
-    import shutil as _shutil
+        build_index(spark, _t(spark, sf_dir, "documents"), path,
+                    mode=FILTERED_MODE)
+        return FulltextIndex(spark, path)
 
-    _shutil.rmtree(path, ignore_errors=True)
-    build_index(spark, _t(spark, sf_dir, "documents"), path,
-                mode=FILTERED_MODE)
-    idx = FulltextIndex(spark, path)
-    _FILT_CACHE[key] = idx
-    return idx
+    return _derived_index(spark, sf_dir, _FILT_CACHE, "gs_filt_", _build)
 
 
 def q_term_df_filtered(spark, sf):
@@ -867,30 +854,19 @@ _RK_CACHE: dict[str, object] = {}
 
 
 def _rk_index(spark: SparkSession, sf_dir: str):
-    from groonga_spark.build import build_index
-    from groonga_spark.search import FulltextIndex
+    def _build(spark, sf_dir, path):
+        from groonga_spark.build import build_index
+        from groonga_spark.search import FulltextIndex
 
-    # key includes the Spark app id: a handle cached for a stopped
-    # session must not be served to a new one
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in _RK_CACHE:
-        return _RK_CACHE[key]
-    ids = [r["doc_id"] for r in
-           _t(spark, sf_dir, "documents").select("doc_id").collect()]
-    rows = [(d, " ".join(_kana_word(d, w) for w in range(d % 3 + 2)))
-            for d in sorted(ids)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gs_rk_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
-    )
-    import shutil as _shutil
+        ids = [r["doc_id"] for r in
+               _t(spark, sf_dir, "documents").select("doc_id").collect()]
+        rows = [(d, " ".join(_kana_word(d, w) for w in range(d % 3 + 2)))
+                for d in sorted(ids)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, docs, path, mode="delimit")
+        return FulltextIndex(spark, path)
 
-    _shutil.rmtree(path, ignore_errors=True)
-    build_index(spark, docs, path, mode="delimit")
-    idx = FulltextIndex(spark, path)
-    _RK_CACHE[key] = idx
-    return idx
+    return _derived_index(spark, sf_dir, _RK_CACHE, "gs_rk_", _build)
 
 
 def q_prefix_rk(spark, sf):
@@ -910,29 +886,18 @@ def _hot_index(spark: SparkSession, sf_dir: str):
     zero-padded term t{doc_id:06d} (plus a 3-way anchor term) — so a
     short prefix matches one lexicon term per doc and the prefix query
     MUST plan as a TermRange (term_id BETWEEN), never an enumerated OR."""
-    from groonga_spark.build import build_index
-    from groonga_spark.search import FulltextIndex
+    def _build(spark, sf_dir, path):
+        from groonga_spark.build import build_index
+        from groonga_spark.search import FulltextIndex
 
-    # key includes the Spark app id: a handle cached for a stopped
-    # session must not be served to a new one
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in _HOT_CACHE:
-        return _HOT_CACHE[key]
-    ids = [r["doc_id"] for r in
-           _t(spark, sf_dir, "documents").select("doc_id").collect()]
-    rows = [(d, f"t{d:06d} anchor{d % 3}") for d in sorted(ids)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gs_hot_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
-    )
-    import shutil as _shutil
+        ids = [r["doc_id"] for r in
+               _t(spark, sf_dir, "documents").select("doc_id").collect()]
+        rows = [(d, f"t{d:06d} anchor{d % 3}") for d in sorted(ids)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, docs, path, mode="delimit")
+        return FulltextIndex(spark, path)
 
-    _shutil.rmtree(path, ignore_errors=True)
-    build_index(spark, docs, path, mode="delimit")
-    idx = FulltextIndex(spark, path)
-    _HOT_CACHE[key] = idx
-    return idx
+    return _derived_index(spark, sf_dir, _HOT_CACHE, "gs_hot_", _build)
 
 
 def q_ft_prefix_hot(spark, sf):
@@ -959,38 +924,27 @@ _MF_CACHE: dict[str, object] = {}
 def _mf_index(spark: SparkSession, sf_dir: str):
     """Multi-field index over documents split into title (first 5 words)
     and body (rest) — the WITH_SECTION / match_columns fixture."""
-    from groonga_spark.multifield import (
-        MultiFieldIndex,
-        build_multifield_index,
-    )
+    def _build(spark, sf_dir, path):
+        from groonga_spark.multifield import (
+            MultiFieldIndex,
+            build_multifield_index,
+        )
 
-    # key includes the Spark app id: a handle cached for a stopped
-    # session must not be served to a new one
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in _MF_CACHE:
-        return _MF_CACHE[key]
-    docs = _t(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    split = docs.select(
-        "doc_id",
-        F.array_join(F.slice(w, 1, 5), " ").alias("title"),
-        F.array_join(
-            F.when(F.size(w) > 5, F.slice(w, 6, 1 << 20))
-            .otherwise(F.array().cast("array<string>")), " "
-        ).alias("body"),
-    )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gs_mf_" + hashlib.md5(key[1].encode()).hexdigest()[:10],
-    )
-    import shutil as _shutil
+        docs = _t(spark, sf_dir, "documents")
+        w = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        split = docs.select(
+            "doc_id",
+            F.array_join(F.slice(w, 1, 5), " ").alias("title"),
+            F.array_join(
+                F.when(F.size(w) > 5, F.slice(w, 6, 1 << 20))
+                .otherwise(F.array().cast("array<string>")), " "
+            ).alias("body"),
+        )
+        build_multifield_index(spark, split, path, ["title", "body"],
+                               mode="delimit")
+        return MultiFieldIndex(spark, path)
 
-    _shutil.rmtree(path, ignore_errors=True)
-    build_multifield_index(spark, split, path, ["title", "body"],
-                           mode="delimit")
-    idx = MultiFieldIndex(spark, path)
-    _MF_CACHE[key] = idx
-    return idx
+    return _derived_index(spark, sf_dir, _MF_CACHE, "gs_mf_", _build)
 
 
 def q_ft_multifield(spark, sf):

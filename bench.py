@@ -25,19 +25,10 @@ import tempfile
 import time
 
 
-# reference query set: head terms, tail terms, conjunctions, phrase,
-# boolean algebra — the shapes [G: lib/ii.c · grn_ii_select] serves.
-QUERY_SET = [
-    ("q_head_term", "table"),
-    ("q_tail_term", "vector"),
-    ("q_and2", "spark merge"),
-    ("q_and3", "table row fast"),
-    ("q_or", "spark OR stream"),
-    ("q_not", "(table OR merge) -slow"),
-    ("q_phrase", '"spark fast"'),
-    ("q_rare_pair", "vector window"),
-    ("q_prefix", "s*"),  # TermRange plan (lexicon-range → BETWEEN scan)
-]
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+)
+from benchlib import REFERENCE_QUERY_SET as QUERY_SET  # noqa: E402
 
 
 def main() -> None:
@@ -45,7 +36,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     import re as _re
 
-    _m = _re.search(r"sf([\d.]+)", os.path.basename(sf_dir.rstrip("/")))
+    _m = _re.search(r"sf(\d+(?:\.\d+)?)",
+                    os.path.basename(sf_dir.rstrip("/")))
     sf = float(_m.group(1)) if _m else 0.1  # label only — never crash
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

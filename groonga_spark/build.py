@@ -239,6 +239,29 @@ class IndexStore:
 # stage 1: per-segment build (the checkpoint / resume unit)
 # --------------------------------------------------------------------------
 
+def index_is_current(path: str, n_docs: int | None = None,
+                     mode: str = "delimit") -> bool:
+    """True iff the on-disk index at ``path`` matches the CURRENT engine
+    contract by VALUE — format version, geometry keys present, tokenizer
+    mode, normalizer version, and (when given) the corpus row count.
+    Callers caching /tmp indexes across runs MUST use this instead of a
+    key-presence sniff: a presence check once served stale indexes
+    across engine versions (see __spark_entry__._index history)."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        m = json.load(f)
+    return (
+        m.get("format_version") == 1
+        and "shard_size" in m
+        and "max_doc_id" in m
+        and m.get("tokenizer_mode") == mode
+        and m.get("normalizer_version") == NORMALIZER_VERSION
+        and (n_docs is None or m.get("n_docs") == n_docs)
+    )
+
+
 def encode_shard(
     pdf: pd.DataFrame, shard: int, segment: int, mode: str
 ) -> pd.DataFrame:

@@ -53,21 +53,19 @@ def main() -> None:
 
     from bench_scaling import make_corpus
 
-    from groonga_spark.build import build_index
+    from groonga_spark.build import build_index, index_is_current
     from groonga_spark.ql import parse_query
     from groonga_spark.search import FulltextIndex
     from groonga_spark.session import get_spark
-    from groonga_spark.wand import SegmentQueryKernel, TermPostings, _topk
+    from groonga_spark.wand import SegmentQueryKernel, _topk
 
     corpus, n_docs = make_corpus("/root/testdata/sf0.1", args.mult)
     idx_path = os.path.join(tempfile.gettempdir(),
                             f"gs_wand_idx_{args.mult}")
-    meta_path = os.path.join(idx_path, "meta.json")
-    stale = True
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            m = json.load(f)
-        stale = "max_doc_id" not in m
+    # value-based staleness (engine contract + corpus size), never a
+    # key-presence sniff — a /tmp index from an older engine version
+    # must rebuild, not get benchmarked
+    stale = not index_is_current(idx_path, n_docs=n_docs)
 
     spark = get_spark("bench_wand", master="local[8]", shuffle_partitions=32)
     if stale:
@@ -138,15 +136,21 @@ def _bench_multifield(spark, corpus: str, args) -> dict:
     kernel runs + combine joins + global sort — the round-2 shape)."""
     from pyspark.sql import functions as F
 
+    from groonga_spark.build import index_is_current
     from groonga_spark.multifield import (
         MultiFieldIndex,
         build_multifield_index,
     )
     from groonga_spark.ql import parse_query
-    from groonga_spark.wand import TermPostings
 
     mf_path = os.path.join(tempfile.gettempdir(), f"gs_wand_mf_{args.mult}")
-    if not os.path.exists(os.path.join(mf_path, "multifield.json")):
+    # stale unless the manifest exists AND every field index matches the
+    # current engine contract by value (not a file-presence sniff)
+    mf_ok = os.path.exists(os.path.join(mf_path, "multifield.json")) and all(
+        index_is_current(os.path.join(mf_path, "fields", f))
+        for f in ("title", "body")
+    )
+    if not mf_ok:
         import shutil
 
         shutil.rmtree(mf_path, ignore_errors=True)

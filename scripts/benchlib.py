@@ -14,6 +14,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: them all)
 KNOWN_MARKS = ("bench_wand", "bench_prefix", "bench_codec")
 
+#: THE reference query set (head terms, tail terms, conjunctions,
+#: phrase, boolean algebra, prefix — the shapes [G: lib/ii.c ·
+#: grn_ii_select] serves). One copy: bench.py and scaling_run.py both
+#: import it, so their per-query metrics stay comparable.
+REFERENCE_QUERY_SET = [
+    ("q_head_term", "table"),
+    ("q_tail_term", "vector"),
+    ("q_and2", "spark merge"),
+    ("q_and3", "table row fast"),
+    ("q_or", "spark OR stream"),
+    ("q_not", "(table OR merge) -slow"),
+    ("q_phrase", '"spark fast"'),
+    ("q_rare_pair", "vector window"),
+    ("q_prefix", "s*"),  # TermRange plan (lexicon-range → BETWEEN scan)
+]
+
 
 def splice_marked_section(mark: str, section_lines: list[str],
                           path: str | None = None) -> None:
@@ -23,8 +39,14 @@ def splice_marked_section(mark: str, section_lines: list[str],
     section = "\n".join([begin, *section_lines, end])
     path = path or os.path.join(REPO, "BENCH.md")
     text = open(path).read() if os.path.exists(path) else "# BENCH\n"
-    if begin in text:
-        text = text.split(begin)[0] + section + text.split(end)[-1]
+    b = text.find(begin)
+    if b >= 0:
+        # take the FIRST end marker AFTER the begin marker; a missing or
+        # duplicated end marker must not double the file or swallow
+        # unrelated content — a malformed block is replaced to EOF
+        e = text.find(end, b)
+        tail = text[e + len(end):] if e >= 0 else "\n"
+        text = text[:b] + section + tail
     else:
         text = text.rstrip() + "\n\n" + section + "\n"
     with open(path, "w") as f:
@@ -65,11 +87,12 @@ def spy_decodes(fn):
 
     TermPostings.decode_idx = spy
     TermPostings.decode_idx_split = spy_split
+    prev_spy = W._DECODE_SPY
     W._DECODE_SPY = pooled
     try:
         out = fn()
     finally:
         TermPostings.decode_idx = orig
         TermPostings.decode_idx_split = orig_split
-        W._DECODE_SPY = None
+        W._DECODE_SPY = prev_spy  # nest-safe: restore, don't clobber
     return out, counts["blocks"] + sum(pooled)

@@ -44,6 +44,12 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must never skip every check and report green
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(qs)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

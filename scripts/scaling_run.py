@@ -83,9 +83,9 @@ def main() -> None:
 
         idx = FulltextIndex(spark, idx_path)
         idx.search("table", k=10).collect()  # warm
-        queries = ["table", "vector", "spark merge", "table row fast",
-                   "spark OR stream", "(table OR merge) -slow",
-                   '"spark fast"', "vector window"]
+        from benchlib import REFERENCE_QUERY_SET
+
+        queries = [q for _name, q in REFERENCE_QUERY_SET]
         q_times = {}
         t0 = time.time()
         for q in queries:
