@@ -159,9 +159,14 @@ class MultiFieldIndex:
         [G: lib/db.c · grn_obj_remove → per-index-column hooks]).
         Accepts the same forms as FulltextIndex.delete_docs — a small
         driver-side iterable or a Spark DataFrame of ids (executor-side
-        tombstone write). Iterables are materialized once so generators
-        survive the per-field fan-out."""
-        if not isinstance(doc_ids, DataFrame):
+        tombstone write). Either form is pinned ONCE before the
+        per-field fan-out: a DataFrame is localCheckpoint'd so its
+        lineage doesn't re-execute per field and a non-deterministic
+        source can't tombstone DIFFERENT id sets in different section
+        indexes; an iterable is materialized so generators survive."""
+        if isinstance(doc_ids, DataFrame):
+            doc_ids = doc_ids.localCheckpoint(eager=True)
+        else:
             doc_ids = list(doc_ids)
         for name in self.manifest["fields"]:
             self.field(name).delete_docs(doc_ids)

@@ -219,7 +219,7 @@ class FulltextIndex:
         Small lexicons scan driver-side (pyarrow + a bounded DP, zero
         Spark jobs); big ones run one Catalyst job with
         ``levenshtein(term, q) <= d`` (+ the prefix range prune)."""
-        q = normalize_str(term).lower()
+        q = normalize_str(term)  # normalize_str already lowercases
         pfx = q[:prefix_length] if prefix_length else ""
         if self.meta.get("n_terms", 0) <= 100_000:
             import pyarrow.dataset as ds
@@ -325,7 +325,7 @@ class FulltextIndex:
 
         def fn(leaf):
             if isinstance(leaf, Prefix):
-                pfx = normalize_str(leaf.text).lower()
+                pfx = normalize_str(leaf.text)
                 rng = self._prefix_tid_range(pfx)
                 if rng is not None:
                     return TermRange(pfx, rng[0], rng[1], rng[2], rng[3])

@@ -202,7 +202,26 @@ def _rewrite_query_calls(df, flt: str, index, id_col: str):
     ignores it (it has exactly one match target)."""
     flags: list[str] = []
 
+    # a query()/fuzzy_search() TEXT inside a quoted literal is data, not
+    # a call — track the literal spans and leave any match that STARTS
+    # inside one untouched (the call's own arguments are string
+    # literals, so token-wise substitution cannot work here)
+    def _spans_of(s: str) -> list[tuple[int, int]]:
+        spans, pos = [], 0
+        for kind, tok in _lex_script(s):
+            if kind == "str":
+                spans.append((pos, pos + len(tok)))
+            pos += len(tok)
+        return spans
+
+    lit_spans = _spans_of(flt)
+
+    def _in_literal(i: int) -> bool:
+        return any(a <= i < b for a, b in lit_spans)
+
     def sub(m: re.Match) -> str:
+        if _in_literal(m.start()):
+            return m.group(0)
         cols, q = m.group(1)[1:-1], m.group(2)[1:-1]
         flag = f"_q{len(flags)}_match"
         flags.append(flag)
@@ -223,6 +242,8 @@ def _rewrite_query_calls(df, flt: str, index, id_col: str):
     def sub_fuzzy(m: re.Match) -> str:
         # fuzzy_search(column, "term"[, max_distance]) [G: lib/proc.c ·
         # func fuzzy_search]: expand via the index lexicon, OR-match
+        if _in_literal(m.start()):
+            return m.group(0)
         _col, q = m.group(1), m.group(2)[1:-1]
         dist = int(m.group(3) or 1)
         flag = f"_q{len(flags)}_match"
@@ -245,6 +266,7 @@ def _rewrite_query_calls(df, flt: str, index, id_col: str):
         return f"coalesce({flag}, false)"
 
     rewritten = _QUERY_CALL.sub(sub, flt)  # joins mutate df via nonlocal
+    lit_spans = _spans_of(rewritten)  # offsets shifted by the first pass
     rewritten = _FUZZY_CALL.sub(sub_fuzzy, rewritten)
     return df, rewritten, flags
 
@@ -267,6 +289,9 @@ def _dynamic_column(df: DataFrame, name: str, spec: dict) -> DataFrame:
     if win is not None and m and m.group(1) in _WINDOW_FNS:
         gk = win.get("group_keys", [])
         sk = win.get("sort_keys", [])
+        ranking = m.group(1) in (
+            "window_rank", "record_number", "window_record_number"
+        )
         w = Window.partitionBy(*gk) if gk else Window.partitionBy()
         if sk:
             order = [
@@ -274,7 +299,13 @@ def _dynamic_column(df: DataFrame, name: str, spec: dict) -> DataFrame:
             ]
             w = w.orderBy(*order)
         else:
-            w = w.orderBy(F.lit(1)).rowsBetween(
+            w = w.orderBy(F.lit(1))
+        if not ranking:
+            # aggregates are whole-partition regardless of sort_keys:
+            # Spark's default frame WITH an ORDER BY is the running
+            # RANGE..CURRENT ROW, which would turn window_sum into a
+            # cumulative sum — sort_keys only order the ranking fns
+            w = w.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         args = [a.strip() for a in m.group(2).split(",") if a.strip()]
@@ -605,7 +636,12 @@ def select(
         if isinstance(drilldowns, (str, list)) and not isinstance(drilldowns, dict):
             specs = drilldowns if isinstance(drilldowns, list) else [drilldowns]
             for s in specs:
-                key = s if isinstance(s, str) else ",".join(s["keys"])
+                if isinstance(s, str):
+                    key = s
+                else:
+                    ks = s["keys"]
+                    # a string keys value is ONE key, not characters
+                    key = ks if isinstance(ks, str) else ",".join(ks)
                 dd[key] = _drilldown(base, s)
                 dd_tot[key] = _drilldown(base, s, apply_limit=False)
         else:
@@ -678,11 +714,8 @@ def _escalate_ast(index, query: str, match_columns: str | None = None):
     is never BROADER than dropping it would make it. Terms normalize
     like any query text (NFKC+lower) before the lexicon scan."""
     from groonga_spark.normalize import normalize_str
-    from groonga_spark.ql import And, Or, Term, parse_query, query_terms
+    from groonga_spark.ql import And, Not, Or, Term, parse_query
 
-    terms = query_terms(parse_query(query))
-    if not terms:
-        return None
     import inspect as _inspect
 
     takes_mc = (
@@ -690,17 +723,35 @@ def _escalate_ast(index, query: str, match_columns: str | None = None):
         and "match_columns"
         in _inspect.signature(index._prefix_terms).parameters
     )
-    parts = []
-    for t in terms:
-        norm = normalize_str(t).lower()
+
+    def _expand_term(t: str):
+        norm = normalize_str(t)
         expanded = (
             index._prefix_terms(norm, limit=8, match_columns=match_columns)
             if takes_mc else index._prefix_terms(norm, limit=8)
         )
         if len(expanded) > 1:
-            parts.append(Or([Term(x) for x in expanded]))
-        elif expanded:
-            parts.append(Term(expanded[0]))
-        else:
-            parts.append(Term(t))  # no expansion: keep the exact term
-    return parts[0] if len(parts) == 1 else And(parts)
+            return Or([Term(x) for x in expanded])
+        if expanded:
+            return Term(expanded[0])
+        return Term(t)  # no expansion: keep the exact term
+
+    # STRUCTURE-PRESERVING rewrite: escalation relaxes each positive
+    # Term leaf in place — an OR stays an OR, and a NEGATED term is
+    # left exact (expanding the subtracted side would remove MORE docs,
+    # the opposite of relaxing). Phrase/Near/Prefix leaves pass through.
+    def _walk(node, neg: bool = False):
+        if node is None:
+            return node
+        if isinstance(node, Term):
+            return node if neg else _expand_term(node.text)
+        if isinstance(node, Not):
+            return Not(_walk(node.child, neg=True))
+        if isinstance(node, (And, Or)):
+            return type(node)([_walk(c, neg) for c in node.children])
+        return node
+
+    ast = parse_query(query)
+    if ast is None:
+        return None
+    return _walk(ast)

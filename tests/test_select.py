@@ -540,3 +540,88 @@ def test_ref_join_same_named_fk_pk_keeps_key(spark):
     assert "user_id" in out.columns
     assert {(r["order_id"], r["user_id"], r["name"])
             for r in out.collect()} == {(0, 7, "u7"), (1, 8, "u8")}
+
+
+def test_escalation_preserves_structure(spark, docs, tmp_path):
+    """Escalation relaxes each POSITIVE term in place: an OR stays an
+    OR, and a negated term stays exact (expanding the subtracted side
+    would remove MORE docs — the opposite of relaxing)."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    from groonga_spark.select import _escalate_ast
+
+    path = str(tmp_path / "idx_esc_struct")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+
+    # negation survives and its term stays exact: 'spar -table' must
+    # escalate to (spar-expansion AND NOT table), never require 'table'
+    res = select(docs, index=idx, query="spar -table",
+                 match_escalation_threshold=0, limit=-1,
+                 output_columns=["doc_id"])
+    want = ({r["doc_id"] for r in idx.match_docs("spar*").collect()}
+            - {r["doc_id"] for r in idx.match_docs("table").collect()})
+    got = {r["doc_id"] for r in res.hits.collect()}
+    assert got == want and got
+
+    # OR stays an OR: 'spar OR table' escalates to (spar-exp OR table)
+    ast = _escalate_ast(idx, "spar OR table")
+    from groonga_spark.ql import Or
+
+    assert isinstance(ast, Or)
+    got2 = {r["doc_id"] for r in idx.match_ast(ast).collect()}
+    want2 = ({r["doc_id"] for r in idx.match_docs("spar*").collect()}
+             | {r["doc_id"] for r in idx.match_docs("table").collect()})
+    assert got2 == want2
+
+
+def test_window_aggregate_is_whole_partition_with_sort_keys(spark):
+    """window_sum/window_count with sort_keys must still be the WHOLE
+    group total (Groonga window functions are whole-partition; sort_keys
+    only order the ranking functions) — not Spark's default running
+    frame."""
+    df = spark.createDataFrame(
+        [(0, "a", 1), (1, "a", 2), (2, "a", 4), (3, "b", 10)],
+        "doc_id long, g string, n long",
+    )
+    res = select(
+        df,
+        columns={
+            "s": {"stage": "initial", "value": "window_sum(n)",
+                  "window": {"group_keys": ["g"], "sort_keys": ["doc_id"]}},
+            "rn": {"stage": "initial", "value": "record_number()",
+                   "window": {"group_keys": ["g"], "sort_keys": ["doc_id"]}},
+        },
+        sort_keys="doc_id",
+        output_columns=["doc_id", "s", "rn"],
+        limit=-1,
+    )
+    rows = [(r["doc_id"], r["s"], r["rn"]) for r in res.hits.collect()]
+    assert rows == [(0, 7, 1), (1, 7, 2), (2, 7, 3), (3, 10, 1)]
+
+
+def test_drilldown_string_keys_label(spark, docs):
+    res = select(docs, drilldowns=[{"keys": "lang"}], limit=0)
+    assert list(res.drilldowns) == ["lang"]
+
+
+def test_query_call_inside_string_literal_is_data(spark, docs, tmp_path):
+    """query(...) text INSIDE a quoted literal is data for comparison,
+    not an index call."""
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+
+    path = str(tmp_path / "idx_qlit")
+    df = spark.createDataFrame(
+        [(0, 'try query("text", "x") here'), (1, "other")],
+        "doc_id long, note string",
+    )
+    build_index(spark, df.withColumnRenamed("note", "text"), path,
+                mode="delimit", segment_size=10)
+    idx = FulltextIndex(spark, path)
+    res = select(
+        df, index=idx,
+        filter='note @ "query(\\"text\\", \\"x\\")"',
+        output_columns=["doc_id"], limit=-1,
+    )
+    assert [r["doc_id"] for r in res.hits.collect()] == [0]
