@@ -57,5 +57,10 @@ def block_upper_bounds(
     TermRange path); ×(1+1e-9) keeps the bound a STRICT upper bound
     under float rounding — the pruned≡exhaustive contract depends on
     every caller using THIS one formula."""
+    # coerce like bm25 does for tf/dl: the 1e-9 headroom only covers
+    # float64 rounding — float32 inputs would void the strict-bound
+    # guarantee (~6e-8 relative error) and let a true member outscore it
+    max_tf = np.asarray(max_tf, np.float64)
+    min_dl = np.asarray(min_dl, np.float64)
     denom = max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
     return idf_el * max_tf / denom * (1.0 + 1e-9)

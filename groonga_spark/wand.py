@@ -324,7 +324,12 @@ class SegmentQueryKernel:
                 return (d, s * float(len(tids))) if len(tids) > 1 else (d, s)
             return self._eval_near(tids, node.max_interval)
         if isinstance(node, Similar):
-            tids = self._leaf_tokens(node.text)
+            # similar-search is an OR over the text's tokens: an
+            # OUT-OF-VOCABULARY token contributes nothing (unlike a
+            # phrase, where an unknown token makes the whole leaf
+            # unmatchable) — only all-unknown yields empty
+            toks = self.plan["tokens_by_text"].get(node.text) or []
+            tids = [t for t in toks if t is not None]
             if not tids:
                 return empty
             # OR over distinct tokens (sorted order → deterministic sums)

@@ -15,3 +15,4 @@ def spark():
 
     s = get_spark("groonga_spark_tests", master="local[4]", shuffle_partitions=4)
     yield s
+    s.stop()  # tear the JVM down for in-process pytest runners

@@ -24,7 +24,11 @@ def _rand(i: int, salt: str) -> int:
 
 
 def _zipf_word(r: int) -> str:
-    # Zipf-ish: rank ~ r mapped through a quadratic skew
+    # Quadratic skew, NOT true Zipf: P(w_k) ∝ 2k+1, so HIGH indices are
+    # the frequent ones and the skew is mild (top word in <1% of docs).
+    # FROZEN as-is — the tokenizer byte-identity goldens hash these
+    # exact bytes. Head-term / high-df coverage comes from the driver
+    # testdata corpora (e.g. 'table' in 77% of docs), not this fixture.
     rank = (r % (_VOCAB_SIZE * _VOCAB_SIZE)) ** 0.5
     return f"w{int(rank)}"
 
@@ -47,7 +51,8 @@ def gen_text(i: int, seed: int = 42) -> str:
     return " ".join(words)
 
 
-def gen_page(i: int, n_docs: int, seed: int = 42) -> dict:
+def gen_page(i: int, seed: int = 42) -> dict:
+    # no n_docs arg: same url -> same bytes at ANY scale, by construction
     dup = _rand(i, f"dup{seed}") % 100 < 5 and i >= 20
     base = i - (1 + _rand(i, f"dupof{seed}") % 19) if dup else i
     url = f"https://site{base % 1000}.example/p/{base}"
@@ -71,7 +76,7 @@ def gen_page(i: int, n_docs: int, seed: int = 42) -> dict:
 
 
 def gen_pages(n_docs: int, seed: int = 42) -> list[dict]:
-    return [gen_page(i, n_docs, seed) for i in range(n_docs)]
+    return [gen_page(i, seed) for i in range(n_docs)]
 
 
 def pages_df(spark, n_docs: int, seed: int = 42, n_partitions: int = 8):

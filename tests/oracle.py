@@ -49,12 +49,12 @@ class OracleIndex:
         toks = [t for t, _ in tokenize_str(normalize_str(text), self.mode)]
         if not toks or any(t not in self.postings for t in toks):
             return {}
-        # docs containing all tokens with adjacency
-        docsets = [set(self.postings[t]) for t in toks]
-        cand = set.intersection(*docsets)
+        # docs containing all tokens, scored by the ONE shared block
+        # (per-doc scores are independent, so adjacency filters after)
+        base = self._leaf_docs_all(toks)
         if len(toks) > 1:
             ok = set()
-            for d in cand:
+            for d in base:
                 acc = set(self.postings[toks[0]][d])
                 for i in range(1, len(toks)):
                     acc &= {p - i for p in self.postings[toks[i]][d]}
@@ -62,16 +62,8 @@ class OracleIndex:
                         break
                 if acc:
                     ok.add(d)
-            cand = ok
-        # sum per-token scores in sorted-unique-token order (term-id order
-        # == term order since ids are rank-of-term)
-        counts = Counter(toks)
-        out = defaultdict(float)
-        for t in sorted(counts):
-            st = self.score_term(t)
-            for d in cand:
-                out[d] += counts[t] * st[d]
-        return dict(out)
+            return {d: s for d, s in base.items() if d in ok}
+        return base
 
     def _near(self, text: str, max_interval: int) -> dict[int, float]:
         toks = [t for t, _ in tokenize_str(normalize_str(text), self.mode)]
@@ -90,12 +82,14 @@ class OracleIndex:
         return out
 
     def _leaf_docs_all(self, toks) -> dict[int, float]:
-        """docs containing ALL tokens (no adjacency), scored like _leaf."""
-        from collections import Counter as _C
-
+        """docs containing ALL tokens (no adjacency) — THE shared
+        intersect-and-score block (_leaf adds adjacency on top): sum
+        per-token scores in sorted-unique-token order with duplicate
+        counts as weights (term-id order == term order since ids are
+        rank-of-term) — the determinism contract both paths share."""
         docsets = [set(self.postings[t]) for t in toks]
         cand = set.intersection(*docsets)
-        counts = _C(toks)
+        counts = Counter(toks)
         out = defaultdict(float)
         for t in sorted(counts):
             st = self.score_term(t)

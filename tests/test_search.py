@@ -1145,3 +1145,17 @@ def test_rk_expand_hepburn_n_apostrophe_and_tch(spark):
     assert rk_expand("matchi") == ["マッチ"]
     assert rk_expand("matcha") == ["マッチャ"]
     assert "マッチ" in rk_expand("matc")
+
+
+def test_similar_tolerates_oov_tokens(spark, corpus, built, oracle):
+    """*S similar-search is an OR over the text's tokens: an
+    out-of-vocabulary token contributes NOTHING (a phrase's unknown
+    token empties the leaf; similar must not) — engine ≡ oracle."""
+    got = {(r["doc_id"], round(r["score"], 9))
+           for r in built.match_docs('*S"spark qqqzzzunknown"').collect()}
+    want_docs = {r["doc_id"] for r in built.match_docs("spark").collect()}
+    assert {d for d, _ in got} == want_docs and got
+    o = oracle._similar("spark qqqzzzunknown")
+    assert {d for d, _ in got} == set(o)
+    # all-unknown text still yields empty
+    assert built.match_docs('*S"qqq zzz www9x"').count() == 0
