@@ -906,11 +906,32 @@ def build_index(
     if shard_size is None:
         shard_size = DEFAULT_SHARD_SIZE
 
-    bounds = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
-    if bounds[0] is None:
+    # OCCUPIED segments only, from the data — never range(max_id/size):
+    # a sparse or snowflake-style id space would enumerate trillions of
+    # empty ranges on the driver. Segment numbering stays the pure
+    # doc_id // segment_size function (bit-identity unchanged); driver
+    # memory is O(occupied) ≤ n_docs / segment_size.
+    occ = (
+        docs.select(
+            (F.col("doc_id") / segment_size).cast("long").alias("seg")
+        ).distinct().collect()
+    )
+    if not occ:
         raise ValueError("empty corpus")
-    max_id = int(bounds[1])
-    n_segments = max_id // segment_size + 1
+    occupied = sorted(int(r["seg"]) for r in occ)
+    if occupied[-1] > (1 << 31) - 1:
+        raise ValueError(
+            f"segment number {occupied[-1]} (max doc_id // segment_size) "
+            "exceeds the int32 block schema: increase segment_size so "
+            "max(doc_id) / segment_size fits in int32, or re-key the "
+            "corpus to dense ids at ingest"
+        )
+    if segment_size // shard_size > (1 << 31) - 1:
+        raise ValueError(
+            f"segment_size // shard_size = {segment_size // shard_size} "
+            "exceeds the int32 shard id: shrink segment_size or grow "
+            "shard_size (shards number a segment's doc ranges)"
+        )
 
     done = store.committed_segments(spark) if resume else set()
     if done:
@@ -980,7 +1001,7 @@ def build_index(
             for f in _glob.glob(store.p("lineage", f"part-{s:05d}-*")):
                 os.remove(f)
         done -= stale
-    pending = [s for s in range(n_segments) if s not in done]
+    pending = [s for s in occupied if s not in done]
     if fail_after_segments is not None or max_concurrent_segments <= 1:
         built = 0
         for seg in pending:

@@ -201,6 +201,21 @@ class TermPostings:
         return np.repeat(docs_all, counts), pos_abs
 
 
+def _ordinalize(cand: np.ndarray, rep: np.ndarray, pos: np.ndarray):
+    """Map per-posting doc ids to their ORDINAL in the sorted candidate
+    set (dropping docs outside it). The positional checkers pack
+    (doc, pos) into one int64 key — packing the ordinal instead of the
+    raw id keeps the key in range for ANY doc-id magnitude (snowflake
+    ids included): ordinal < len(cand), so ordinal·KEY + pos can't wrap
+    for any realistic candidate count × position width."""
+    if len(rep) == 0 or len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    idx = np.searchsorted(cand, rep)
+    idx = np.minimum(idx, len(cand) - 1)
+    m = cand[idx] == rep
+    return idx[m], pos[m]
+
+
 def _score_arrays(tp: TermPostings, stats: dict) -> np.ndarray:
     stats = tp.stats or stats
     return bm25(
@@ -445,6 +460,7 @@ class SegmentQueryKernel:
             max_pos = 0
             for i, tp in enumerate(tps):
                 rep, pos = tp.positions_arrays(cand)
+                rep, pos = _ordinalize(cand, rep, pos)
                 arrays.append((i, rep, pos))
                 if len(pos):
                     max_pos = max(max_pos, int(pos.max()))
@@ -458,8 +474,9 @@ class SegmentQueryKernel:
                 )
                 if len(acc) == 0:
                     return np.zeros(len(cand), bool)
-            docs_ok = np.unique(acc // KEY)
-            return np.isin(cand, docs_ok, assume_unique=True)
+            mask = np.zeros(len(cand), bool)
+            mask[np.unique(acc // KEY)] = True
+            return mask
 
         return check
 
@@ -474,6 +491,7 @@ class SegmentQueryKernel:
             max_pos = 0
             for tp in tps:
                 rep, pos = tp.positions_arrays(cand)
+                rep, pos = _ordinalize(cand, rep, pos)
                 arrays.append((rep, pos))
                 if len(pos):
                     max_pos = max(max_pos, int(pos.max()))
@@ -492,8 +510,9 @@ class SegmentQueryKernel:
                 ok &= has & (ki <= allp + N) & (ki // KEY == allp // KEY)
                 if not ok.any():
                     return np.zeros(len(cand), bool)
-            docs_ok = np.unique(allp[ok] // KEY)
-            return np.isin(cand, docs_ok, assume_unique=True)
+            mask = np.zeros(len(cand), bool)
+            mask[np.unique(allp[ok] // KEY)] = True
+            return mask
 
         return check
 

@@ -1159,3 +1159,29 @@ def test_similar_tolerates_oov_tokens(spark, corpus, built, oracle):
     assert {d for d, _ in got} == set(o)
     # all-unknown text still yields empty
     assert built.match_docs('*S"qqq zzz www9x"').count() == 0
+
+
+def test_positional_queries_on_huge_sparse_doc_ids(spark, tmp_path):
+    """Snowflake-scale doc ids: the builder enumerates only OCCUPIED
+    segments (never range(max_id // size)), and the phrase/near
+    checkers pack candidate ORDINALS — raw ids of any magnitude can't
+    wrap the int64 (doc, pos) key."""
+    big = 1 << 50
+    docs = spark.createDataFrame(
+        [(big, "spark fast engine"), (big + 10**9, "spark slow"),
+         (big + 2 * 10**9, "fast spark reversed")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "big_id_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20)
+    idx = FulltextIndex(spark, path)
+    assert {r["doc_id"] for r in idx.match_docs("spark").collect()} == \
+        {big, big + 10**9, big + 2 * 10**9}
+    # phrase adjacency must be exact at this magnitude
+    assert [r["doc_id"] for r in
+            idx.match_docs('"spark fast"').collect()] == [big]
+    assert idx.match_docs('*N2"spark engine"').count() == 1
+    # absurd geometry still refuses loudly instead of overflowing shards
+    with pytest.raises(ValueError, match="int32"):
+        build_index(spark, docs, str(tmp_path / "bad_geom"),
+                    mode="delimit", segment_size=1 << 45)
