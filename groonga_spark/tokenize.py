@@ -57,6 +57,8 @@ depends on.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -132,10 +134,13 @@ def _classify(cp: np.ndarray) -> np.ndarray:
     return cls.astype(np.uint8)
 
 
-def parse_mode(mode: str) -> tuple[str, int, list[tuple[str, object]]]:
-    """``"trigram|stop:the,a|stem"`` → ("ngram", 3, [("stop", {...}),
-    ("stem", None)]). The full string is what build_index freezes into
-    index meta, so query-side tokenization replays the same stages."""
+@functools.lru_cache(maxsize=256)
+def parse_mode(mode: str) -> tuple[str, int, tuple[tuple[str, object], ...]]:
+    """``"trigram|stop:the,a|stem"`` → ("ngram", 3, (("stop", {...}),
+    ("stem", None))). The full string is what build_index freezes into
+    index meta, so query-side tokenization replays the same stages.
+    Cached (immutable result): the encode hot path parses the same mode
+    string once per batch for offsets and once for filters."""
     parts = mode.split("|")
     base = parts[0]
     if base == "bigram":
@@ -160,7 +165,7 @@ def parse_mode(mode: str) -> tuple[str, int, list[tuple[str, object]]]:
             filters.append(("stem", None))
         else:
             raise ValueError(f"unknown token filter: {p!r} in {mode}")
-    return kind, n, filters
+    return kind, n, tuple(filters)
 
 
 def stem_lite(t: str) -> str:

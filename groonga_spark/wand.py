@@ -201,6 +201,20 @@ class TermPostings:
         return np.repeat(docs_all, counts), pos_abs
 
 
+def _union_add(doc: np.ndarray, score: np.ndarray,
+               d: np.ndarray, s: np.ndarray):
+    """One step of the OR union-merge: union doc sets, ADD scores on
+    overlap. THE single implementation — the bit-identity contract
+    (float add order == sequential union order) lives here, shared by
+    _eval_or and the Similar token loop."""
+    merged = np.union1d(doc, d)
+    ms = np.zeros(len(merged), np.float64)
+    if len(doc):
+        ms[np.searchsorted(merged, doc)] += score
+    ms[np.searchsorted(merged, d)] += s
+    return merged, ms
+
+
 def _ordinalize(cand: np.ndarray, rep: np.ndarray, pos: np.ndarray):
     """Map per-posting doc ids to their ORDINAL in the sorted candidate
     set (dropping docs outside it). The positional checkers pack
@@ -347,19 +361,15 @@ class SegmentQueryKernel:
             tids = [t for t in toks if t is not None]
             if not tids:
                 return empty
-            # OR over distinct tokens (sorted order → deterministic sums)
+            # OR over distinct tokens (sorted order → deterministic
+            # sums; same union-merge as _eval_or — ONE implementation)
             doc = np.empty(0, np.int64)
             score = np.empty(0, np.float64)
             for t in sorted(set(tids)):
                 d, s = self._eval_single(t)
                 if len(d) == 0:
                     continue
-                merged = np.union1d(doc, d)
-                ms = np.zeros(len(merged), np.float64)
-                if len(doc):
-                    ms[np.searchsorted(merged, doc)] += score
-                ms[np.searchsorted(merged, d)] += s
-                doc, score = merged, ms
+                doc, score = _union_add(doc, score, d, s)
             return doc, score
         if isinstance(node, TermRange):
             return self._eval_range(node.lo_tid, node.hi_tid)
@@ -629,12 +639,7 @@ class SegmentQueryKernel:
             d, s = self.eval(c)
             if len(d) == 0:
                 continue
-            merged = np.union1d(doc, d)
-            ms = np.zeros(len(merged), np.float64)
-            if len(doc):
-                ms[np.searchsorted(merged, doc)] += score
-            ms[np.searchsorted(merged, d)] += s
-            doc, score = merged, ms
+            doc, score = _union_add(doc, score, d, s)
         return doc, score
 
     def _topk_single_pruned(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
