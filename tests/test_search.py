@@ -1185,3 +1185,46 @@ def test_positional_queries_on_huge_sparse_doc_ids(spark, tmp_path):
     with pytest.raises(ValueError, match="int32"):
         build_index(spark, docs, str(tmp_path / "bad_geom"),
                     mode="delimit", segment_size=1 << 45)
+
+
+def test_fuzz_random_queries_vs_python_oracle(built, oracle):
+    """Independent-implementation fuzz: 80 random QL queries (terms,
+    phrases, nears, similars, ORs, NOTs, unknown tokens) — the engine's
+    doc set AND scores must match the pure-Python oracle to 1e-6. Unlike
+    the pruned≡exhaustive fuzzers, the two sides here share NO kernel
+    code (this guards e.g. the positional checkers' key packing)."""
+    import random
+
+    from groonga_spark.ql import parse_query
+
+    rng = random.Random(4242)
+    vocab = ["spark", "merge", "table", "scan", "stream", "window",
+             "fast", "slow", "index", "query", "vector", "join", "zzznope"]
+
+    def leaf():
+        r = rng.random()
+        t = rng.choice(vocab)
+        if r < 0.45:
+            return t
+        if r < 0.60:
+            return f'"{t} {rng.choice(vocab)}"'
+        if r < 0.72:
+            return f'*N{rng.randrange(1, 6)}"{t} {rng.choice(vocab)}"'
+        if r < 0.86:
+            return f"({t} OR {rng.choice(vocab)})"
+        return f'*S"{t} {rng.choice(vocab)}"'
+
+    nonempty = 0
+    for _ in range(80):
+        parts = [leaf() for _ in range(rng.randrange(1, 3))]
+        if rng.random() < 0.4:
+            parts.append(f"-{rng.choice(vocab)}")
+        q = " ".join(parts)
+        want = oracle.eval(parse_query(q))
+        got = {r["doc_id"]: r["score"]
+               for r in built.match_docs(q).collect()}
+        assert set(got) == set(want), q
+        for d, s in got.items():
+            assert abs(s - want[d]) <= 1e-6, (q, d, s, want[d])
+        nonempty += bool(got)
+    assert nonempty >= 40  # the fuzz actually exercises matches
