@@ -911,9 +911,16 @@ def build_index(
     # empty ranges on the driver. Segment numbering stays the pure
     # doc_id // segment_size function (bit-identity unchanged); driver
     # memory is O(occupied) ≤ n_docs / segment_size.
+    # Integer division (`div`), NOT `/`: Spark's `/` on bigint returns
+    # double, and above 2^53 (snowflake-style ids — exactly the regime
+    # where the int32 guard below tells users to raise segment_size) a
+    # doc near a segment boundary rounds into the WRONG segment number
+    # while build_segment's range filter uses exact int64 bounds — the
+    # doc's true segment would never be listed and the doc silently
+    # dropped from the index.
     occ = (
         docs.select(
-            (F.col("doc_id") / segment_size).cast("long").alias("seg")
+            F.expr(f"doc_id div {int(segment_size)}").alias("seg")
         ).distinct().collect()
     )
     if not occ:
@@ -965,7 +972,7 @@ def build_index(
         actual = {
             int(r["seg"]): (int(r["n"]), int(r["fp"]) % (1 << 31))
             for r in scan.groupBy(
-                (F.col("doc_id") / segment_size).cast("long").alias("seg")
+                F.expr(f"doc_id div {int(segment_size)}").alias("seg")
             ).agg(
                 F.count(F.lit(1)).alias("n"), F.sum(fp_expr).alias("fp")
             ).collect()

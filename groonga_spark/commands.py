@@ -237,7 +237,11 @@ def _cmd_delete(ctx: CommandContext, table: str, key: str | None = None,
     # Never collect the matched ids to the driver: a `delete --filter`
     # can match billions of rows. The count comes from one aggregate;
     # the tombstone write streams the id DataFrame from the executors.
-    doomed_ids = doomed.select(id_col)
+    # Pinned ONCE (same pattern as MultiFieldIndex.delete_docs): the
+    # lineage is otherwise re-executed three times — count, anti-join,
+    # tombstone write — and a non-deterministic filter or concurrently
+    # changing source would tombstone a DIFFERENT id set than reported.
+    doomed_ids = doomed.select(id_col).localCheckpoint(eager=True)
     n_deleted = doomed_ids.count()
     ctx.tables[table] = df.join(doomed_ids, id_col, "left_anti")
     idx = ctx.indexes.get(table)
@@ -254,9 +258,17 @@ SELECT_BODY_MAX_ROWS = 100_000
 
 
 def _select_body(res, hits_df: DataFrame) -> list:
-    rows = hits_df.limit(SELECT_BODY_MAX_ROWS).collect()
+    # fetch cap+1 so truncation is DETECTED, never silent: a limit=-1
+    # ("all rows") select bigger than the cap keeps the true n_hits in
+    # the header and marks the body as truncated instead of quietly
+    # returning fewer rows than n_hits.
+    rows = hits_df.limit(SELECT_BODY_MAX_ROWS + 1).collect()
     cols = [[f.name, f.dataType.simpleString()] for f in hits_df.schema.fields]
-    return [[res.n_hits], cols, *[list(r) for r in rows]]
+    header: list = [res.n_hits]
+    if len(rows) > SELECT_BODY_MAX_ROWS:
+        rows = rows[:SELECT_BODY_MAX_ROWS]
+        header.append({"truncated": True, "cap": SELECT_BODY_MAX_ROWS})
+    return [header, cols, *[list(r) for r in rows]]
 
 
 def _cmd_select(

@@ -462,12 +462,16 @@ class FulltextIndex:
                 os.replace(final + ".tmp", final)
                 n = 1
             else:
-                n = 0
-                for f in staged:
-                    os.replace(
-                        f, os.path.join(d, f"t-{uuid.uuid4().hex}.parquet")
-                    )
-                    n += 1
+                # adopt the WHOLE stage in one atomic rename: a per-file
+                # move loop could crash midway and leave a partial delete
+                # permanently applied with no marker or retry path, and
+                # concurrent readers could observe a half-applied delete.
+                # A directory rename is all-or-nothing; every reader
+                # (pyarrow dataset, the recursive Spark read, the footer
+                # estimate) recurses into t-* directories, and the
+                # dot-prefixed stage dir is invisible until renamed.
+                os.replace(stage, os.path.join(d, f"t-{uuid.uuid4().hex}"))
+                n = len(staged)
             shutil.rmtree(stage, ignore_errors=True)
             if n == 0:  # empty result set: nothing tombstoned
                 self._tombstones = None
@@ -525,11 +529,14 @@ class FulltextIndex:
         import pyarrow.parquet as pq
 
         total = 0
-        for fn in os.listdir(d):
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(d, fn)
-                ).metadata.num_rows
+        for root, dirs, files in os.walk(d):
+            # in-flight staging dirs (dot-prefixed) are not yet adopted
+            dirs[:] = [x for x in dirs if not x.startswith(".")]
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, fn)
+                    ).metadata.num_rows
         self._tombstone_est = total
         return total
 
@@ -704,7 +711,11 @@ class FulltextIndex:
                 _run, schema=empty_schema
             )
 
-        tomb = spark.read.parquet(self.store.p("tombstones"))
+        # recursiveFileLookup: big deletes are adopted as whole t-<uuid>
+        # DIRECTORIES (atomic rename); Spark's listing skips the
+        # dot/underscore-prefixed staging dirs and _SUCCESS markers
+        tomb = (spark.read.option("recursiveFileLookup", "true")
+                     .parquet(self.store.p("tombstones")))
         # fresh column names break the shared lineage with `blocks`
         # (the cogroup below would otherwise trip Spark's ambiguous
         # self-join analysis — both sides descend from the same scan)

@@ -265,3 +265,21 @@ def test_foreign_reference_does_not_hijack_same_named_column(spark):
     body2 = execute(ctx, "select", table="Events",
                     output_columns="doc_id,meta.m_name", limit=-1)
     assert [tuple(r) for r in body2[0][2:]] == [(0, "x")]
+
+
+def test_select_body_truncation_is_surfaced(ctx, monkeypatch):
+    """A capped limit=-1 body must carry an explicit truncated marker in
+    the header (never silently return fewer rows than n_hits); an
+    un-truncated select must NOT grow the header."""
+    import groonga_spark.commands as cmds
+
+    monkeypatch.setattr(cmds, "SELECT_BODY_MAX_ROWS", 3)
+    body = execute(ctx, "select", table="Docs", filter='lang == "en"',
+                   sort_keys="doc_id", output_columns="doc_id", limit=-1)
+    header = body[0][0]
+    assert header[0] > 3
+    assert header[1] == {"truncated": True, "cap": 3}
+
+    small = execute(ctx, "select", table="Docs", filter='lang == "en"',
+                    sort_keys="doc_id", output_columns="doc_id", limit=2)
+    assert len(small[0][0]) == 1  # plain [n_hits] header

@@ -271,3 +271,37 @@ def test_stream_batch_replay_is_idempotent(spark, docs, tmp_path):
     path2 = str(tmp_path / "replay_batch")
     build_index(spark, docs, path2, mode="delimit", segment_size=200)
     assert _postings_rows(spark, idx) == _postings_rows(spark, path2)
+
+
+def test_legacy_flat_corpus_migrates_to_epoch_partition(spark, docs,
+                                                        tmp_path):
+    """A corpus written by the pre-epoch flat-append sink (root-level
+    part files) must migrate into an epoch=-1 partition on the next
+    batch — mixing root files with epoch=N dirs breaks Spark's
+    partition discovery."""
+    from groonga_spark.streaming import _append_epoch
+
+    corpus = str(tmp_path / "legacy_corpus")
+    idx = str(tmp_path / "legacy_idx")
+
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    old.write.parquet(corpus)  # legacy flat layout
+    assert any(f.endswith(".parquet") for f in os.listdir(corpus))
+
+    _append_epoch(new, 0, corpus, idx, segment_size=200)
+
+    # root-level part files are gone; legacy rows live in epoch=-1
+    assert not any(f.endswith(".parquet") for f in os.listdir(corpus))
+    assert os.path.isdir(os.path.join(corpus, "epoch=-1"))
+    got = spark.read.parquet(corpus)
+    assert got.count() == docs.count()
+    assert set(got.select("epoch").distinct().toPandas()["epoch"]) == {-1, 0}
+
+    # index covers BOTH the legacy and the new rows
+    built = FulltextIndex(spark, idx)
+    assert built.meta["n_docs"] == docs.count()
+
+    path2 = str(tmp_path / "legacy_batch")
+    build_index(spark, docs, path2, mode="delimit", segment_size=200)
+    assert _postings_rows(spark, idx) == _postings_rows(spark, path2)

@@ -1228,3 +1228,67 @@ def test_fuzz_random_queries_vs_python_oracle(built, oracle):
             assert abs(s - want[d]) <= 1e-6, (q, d, s, want[d])
         nonempty += bool(got)
     assert nonempty >= 40  # the fuzz actually exercises matches
+
+
+def test_segment_numbering_exact_past_2_53(spark, tmp_path):
+    """Occupied-segment enumeration must use INTEGER division: Spark's
+    `/` on bigint returns double, and above 2^53 a doc just below a
+    segment boundary rounds into the NEXT segment number while
+    build_segment's range filter uses exact int64 bounds — the doc's
+    true segment is never listed and the doc silently vanishes."""
+    seg = 1 << 23
+    k = (1 << 31) - 1           # max int32 segment number
+    boundary_id = k * seg - 1   # = 2^54 - 2^23 - 1: double rounds UP to k*seg
+    assert float(boundary_id) == float(k * seg)  # the trap is real
+    docs = spark.createDataFrame(
+        [(0, "alpha common"), (boundary_id, "zzzunique common")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx_2p53")
+    build_index(spark, docs, path, mode="delimit",
+                segment_size=seg, shard_size=seg)
+    idx = FulltextIndex(spark, path)
+    assert idx.meta["n_docs"] == 2
+    got = {r["doc_id"] for r in idx.match_docs("zzzunique").collect()}
+    assert got == {boundary_id}
+    assert {r["doc_id"] for r in idx.match_docs("common").collect()} == \
+        {0, boundary_id}
+
+
+def test_big_dataframe_delete_adopts_stage_atomically(spark, corpus,
+                                                      tmp_path):
+    """Past TOMBSTONE_DRIVER_MAX the staged executor-written tombstone
+    parts are adopted as ONE t-<uuid> directory rename (all-or-nothing,
+    never a per-file loop a crash could leave half-applied); every
+    reader recurses into t-* dirs."""
+    docs, rows = corpus
+    path = str(tmp_path / "tomb_atomic_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+
+    idx = FulltextIndex(spark, path)
+    idx.TOMBSTONE_DRIVER_MAX = 0   # force the adopt-as-is branch
+    doomed = sorted(d for d, _ in rows)[::5][:60]
+    idx.delete_docs(spark.createDataFrame([(int(d),) for d in doomed],
+                                          "doc_id long"))
+
+    tomb_dir = IndexStore(path).p("tombstones")
+    entries = [e for e in os.listdir(tomb_dir) if e.startswith("t-")]
+    assert entries and all(
+        os.path.isdir(os.path.join(tomb_dir, e)) for e in entries
+    )
+    # no stray root-level part files, no leftover staging dirs
+    assert not any(e.endswith(".parquet") for e in os.listdir(tomb_dir))
+    assert not any(e.startswith(".stage") for e in os.listdir(tomb_dir))
+
+    # all three readers see through the directory
+    fresh = FulltextIndex(spark, path)
+    assert set(fresh.tombstones().tolist()) == set(doomed)
+    assert fresh._tombstone_rows_estimate() == len(doomed)
+    hits = {r["doc_id"] for r in fresh.match_docs("spark").collect()}
+    assert not hits & set(doomed)
+    # and the distributed (executor-masked) path reads it via Spark
+    fresh2 = FulltextIndex(spark, path)
+    fresh2.TOMBSTONE_DRIVER_MAX = 0
+    got = {r["doc_id"]
+           for r in fresh2.match_docs("spark").collect()}
+    assert got == hits
