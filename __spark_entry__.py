@@ -1064,13 +1064,54 @@ def q_index_df_ratio(spark, sf):
     )
 
 
+def _last_covered_rounds() -> dict[str, int]:
+    """Per-query newest round with a GREEN driver row, scraped from the
+    CORRECTNESS_r*.json files the driver writes next to this module.
+    Never-covered (or red) queries get -1. Powers the automatic
+    coverage rotation in queries()."""
+    import glob
+    import json as _json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            green = v.get("err") is None and all(
+                v.get(f) is not False
+                for f in ("rows_match", "schema_match", "hash_match")
+            )
+            if green:
+                last[k] = max(last.get(k, -1), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # --- Automatic driver-coverage rotation (round 5) -------------------
+    # The driver's CORRECTNESS snapshot caps at 50 queries, taken in dict
+    # order, but there are more entries than that. Ordering by
+    # least-recently-green (never-covered first; stable sort keeps the
+    # curated order as the tie-break) guarantees BY CONSTRUCTION that
+    # every entry gets a fresh driver row within ceil(n/50) rounds —
+    # no hand-rotation needed. CORRECTNESS_r*.json is the record.
+    base = _query_impls()
+    last = _last_covered_rounds()
+    return {k: base[k] for k in sorted(base, key=lambda k: last.get(k, -1))}
+
+
+def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- Driver-coverage rotation (round 4) -------------------------
-        # The driver's CORRECTNESS snapshot caps at 50 queries, taken in
-        # dict order.  These ten entries had no driver row in round 3
-        # (six of them never, per VERDICT.md "Next round" #1), so they
-        # come FIRST this round; long-green entries rotate to the tail.
         "ft_bigram_prefix": q_ft_bigram_prefix,
         "ft_multifield": q_ft_multifield,
         "term_df_filtered": q_term_df_filtered,
