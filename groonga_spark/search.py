@@ -146,13 +146,47 @@ class FulltextIndex:
             if self._lex_cache.get(t) is not None
         ]
 
+    #: Lexicon size above which prefix planning runs as ONE pruned Spark
+    #: aggregation / scan instead of a driver-side pyarrow fetch: on a
+    #: 10^8–10^9-term lexicon a hot prefix can match millions of rows,
+    #: and the driver must never materialize them (the contract of
+    #: _prefix_tid_range is literally two ints + two scalars). Below it,
+    #: the pyarrow path answers without scheduling a Spark job
+    #: (search-head latency). Class attr so tests/deployments can tune.
+    PREFIX_DRIVER_SCAN_MAX = 10_000_000
+
     def _prefix_terms(self, prefix: str, limit: int | None = None) -> list[str]:
         """Lexicon range scan for a prefix — the PAT-trie predictive
         cursor [G: lib/pat.c · GRN_CURSOR_PREFIX]. Exact: [p, succ(p))
         where succ increments the last codepoint (codepoint order ==
         UTF-8 byte order), with a startswith post-check for the
         no-successor edge. Unbounded by default; an explicit ``limit``
-        that truncates warns."""
+        that truncates warns. Past PREFIX_DRIVER_SCAN_MAX terms the scan
+        runs on the executors (StringStartsWith pushes to parquet /
+        Iceberg) and only MATCHED terms transfer — with a limit, only
+        limit+1 of them."""
+        if self.meta.get("n_terms", 0) > self.PREFIX_DRIVER_SCAN_MAX:
+            df = self.lexicon.select("term").filter(
+                F.col("term").startswith(prefix)
+            )
+            if limit is not None:
+                rows = df.orderBy("term").limit(limit + 1).collect()
+            else:
+                rows = df.collect()
+            terms = sorted(r["term"] for r in rows)
+        else:
+            terms = self._prefix_terms_pyarrow(prefix)
+        if limit is not None and len(terms) > limit:
+            import warnings
+
+            warnings.warn(
+                f"prefix '{prefix}*' matches more than {limit} terms; "
+                f"truncated to first {limit}"
+            )
+            terms = terms[:limit]
+        return terms
+
+    def _prefix_terms_pyarrow(self, prefix: str) -> list[str]:
         import pyarrow.dataset as ds
 
         f = ds.field("term") >= prefix
@@ -161,33 +195,48 @@ class FulltextIndex:
             f = f & (ds.field("term") < ub)
         dset = ds.dataset(self.store.p("lexicon"), format="parquet")
         tbl = dset.to_table(columns=["term"], filter=f)
-        terms = sorted(
+        return sorted(
             t for t in tbl.column("term").to_pylist() if t.startswith(prefix)
         )
-        if limit is not None and len(terms) > limit:
-            import warnings
-
-            warnings.warn(
-                f"prefix '{prefix}*' matches {len(terms)} terms; "
-                f"truncated to first {limit}"
-            )
-            terms = terms[:limit]
-        return terms
 
     def _prefix_tid_range(self, prefix: str) -> tuple[int, int, int, float] | None:
         """(lo_tid, hi_tid, n_terms, sum_df) of every lexicon term with
-        ``prefix`` — one pruned parquet scan reading only term_id/df.
-        Dense ids are term-sorted (build.assign_dense_ids), so the match
-        set is exactly the CONTIGUOUS id range [lo, hi]; None when no term
-        matches. At 10^8+ terms the prod path aggregates min/max/sum on
-        the lexicon Iceberg table instead of fetching the column — the
-        contract (two ints + a count) is the same."""
-        import pyarrow.compute as pc
-        import pyarrow.dataset as ds
-
+        ``prefix`` — one pruned scan reading only term_id/df. Dense ids
+        are term-sorted (build.assign_dense_ids), so the match set is
+        exactly the CONTIGUOUS id range [lo, hi]; None when no term
+        matches. Past PREFIX_DRIVER_SCAN_MAX lexicon terms the range
+        comes from ONE Spark ``min/max/count/sum`` aggregation with the
+        range predicate pushed to the parquet/Iceberg scan — a hot
+        prefix over a 10^8-term lexicon never fetches matched rows to
+        the driver (the contract is two ints + two scalars); under it,
+        a driver pyarrow scan answers without a Spark job."""
         ub = _prefix_upper_bound(prefix)
         if ub is None:
             return None  # degenerate all-U+10FFFF prefix: enumerate instead
+        if self.meta.get("n_terms", 0) > self.PREFIX_DRIVER_SCAN_MAX:
+            row = (
+                self.lexicon
+                .filter((F.col("term") >= prefix) & (F.col("term") < ub))
+                .agg(
+                    F.min("term_id").alias("lo"),
+                    F.max("term_id").alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("df").alias("sum_df"),
+                )
+                .collect()[0]
+            )
+            if not row["n"]:
+                return None
+            lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
+            if hi - lo + 1 != n:
+                raise RuntimeError(
+                    "lexicon corruption: dense term_id range for prefix "
+                    f"{prefix!r} is non-contiguous (lo={lo}, hi={hi}, n={n})"
+                )
+            return lo, hi, n, float(row["sum_df"])
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
         f = (ds.field("term") >= prefix) & (ds.field("term") < ub)
         dset = ds.dataset(self.store.p("lexicon"), format="parquet")
         tbl = dset.to_table(columns=["term_id", "df"], filter=f)

@@ -1292,3 +1292,50 @@ def test_big_dataframe_delete_adopts_stage_atomically(spark, corpus,
     got = {r["doc_id"]
            for r in fresh2.match_docs("spark").collect()}
     assert got == hits
+
+
+def test_prefix_prod_path_never_materializes_matched_rows(spark, tmp_path):
+    """Past PREFIX_DRIVER_SCAN_MAX lexicon terms, prefix planning must
+    run as ONE Spark min/max/count/sum aggregation (range predicate
+    pushed to the scan) — a hot prefix over a huge lexicon never fetches
+    the matched (term_id, df) rows to the driver — and the returned
+    range, term list, and search results must be identical to the
+    driver pyarrow path."""
+    import pyarrow.dataset as pds
+    import pytest as _pytest
+
+    rows = [(i, f"pre{i:04d} common filler{i % 7}") for i in range(400)]
+    rows += [(400 + i, f"zother{i} common") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_hotprefix")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+
+    idx = FulltextIndex(spark, path)
+    want_range = idx._prefix_tid_range("pre")
+    want_terms = idx._prefix_terms("pre")
+    want_hits = [(r["doc_id"], r["score"])
+                 for r in idx.search("pre* common", 15).collect()]
+    assert want_range is not None and want_range[2] == 400
+
+    idx2 = FulltextIndex(spark, path)
+    idx2.PREFIX_DRIVER_SCAN_MAX = 0  # force the prod branch
+
+    def boom(*a, **k):
+        raise AssertionError("driver materialized lexicon rows via pyarrow")
+
+    with _pytest.MonkeyPatch.context() as mp:
+        # the Spark branch must not open the lexicon with pyarrow at all
+        mp.setattr(pds, "dataset", boom)
+        got_range = idx2._prefix_tid_range("pre")
+        assert got_range == want_range
+        assert idx2._prefix_tid_range("nosuchprefix") is None
+
+    idx2._prefix_terms_pyarrow = boom
+    assert idx2._prefix_terms("pre") == want_terms
+    with _pytest.warns(UserWarning, match="matches more than 5"):
+        assert idx2._prefix_terms("pre", limit=5) == want_terms[:5]
+
+    got_hits = [(r["doc_id"], r["score"])
+                for r in idx2.search("pre* common", 15,
+                                     use_cache=False).collect()]
+    assert got_hits == want_hits
