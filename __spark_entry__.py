@@ -159,6 +159,27 @@ def q_ft_topk_bm25(spark, sf):
     return hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+# Every distinct corpus term plus an OOV token: one more known term than
+# SIMILAR_MAX_TERMS (30), so the rare-term selection genuinely drops the
+# most frequent term — the bound is exercised end-to-end, not just in a
+# unit test. The oracle SQL re-derives the selection from the data
+# (ORDER BY df, term LIMIT 30), so it tracks any sf's dfs.
+_SIMILAR_INPUT = (
+    "query window scan merge sort key fast customer part a stream value "
+    "the big agg table spark slow batch column vector filter order row "
+    "hash join data group small line dup zzzoovtoken"
+)
+
+
+def q_ft_similar(spark, sf):
+    """*S similar search [G: GRN_OP_SIMILAR → grn_ii_similar_search]:
+    docs sharing the input's RARE terms, BM25-ranked; the input's known
+    tokens are ranked by (df asc, term asc) and only the top
+    SIMILAR_MAX_TERMS plan posting fetches."""
+    hits = _index(spark, sf).search(f'*S"{_SIMILAR_INPUT}"', k=15)
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_select_filter(spark, sf):
     from groonga_spark.select import select
 
@@ -1137,6 +1158,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": q_ft_prefix,
         "ft_near": q_ft_near,
         "ft_topk_bm25": q_ft_topk_bm25,
+        "ft_similar": q_ft_similar,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
         "select_query_filter": q_select_query_filter,
@@ -1278,6 +1300,36 @@ agg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nt FROM sc GROUP BY doc_id
 SELECT doc_id, round(score, 4) AS score FROM agg
 WHERE nt = {len(terms)}
 ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _similar_sql(input_text: str, m: int, k: int) -> str:
+    """*S oracle: rank the input's distinct corpus-known tokens by
+    (df asc, term asc), keep the top ``m`` (the engine's rare-term
+    selection), then sum per-term BM25 (OR semantics — any selected
+    term matches). Selection is DERIVED FROM THE DATA, so the oracle
+    tracks every sf's dfs exactly like the engine does."""
+    toks = sorted(set(input_text.split()))
+    vals = ", ".join(f"('{t}')" for t in toks)
+    return f"""
+WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') w
+           FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM d),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+input(term) AS (VALUES {vals}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS term FROM d)
+       WHERE term IN (SELECT term FROM input) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sel AS (SELECT term FROM dft ORDER BY df, term LIMIT {m}),
+sc AS (SELECT tf.doc_id, tf.term,
+              ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sco
+       FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), stats s
+       WHERE tf.term IN (SELECT term FROM sel)),
+agg AS (SELECT doc_id, sum(sco) AS raw FROM sc GROUP BY doc_id
+        ORDER BY raw DESC, doc_id LIMIT {k})
+SELECT doc_id, round(raw, 4) AS score FROM agg ORDER BY score DESC, doc_id
 """
 
 
@@ -1581,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.term = 'spark'
              AND b.term = 'merge' AND abs(a.pos - b.pos) <= 3""",
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
+        "ft_similar": _similar_sql(_SIMILAR_INPUT, 30, 15),
         "ft_multifield": _bm25f_sql(),
         "adjuster": _adjuster_sql(),
         "slices": """

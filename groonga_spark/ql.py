@@ -69,12 +69,18 @@ class Near:
 
 @dataclass
 class Similar:
-    """Similar search (QL ``*S"text"``) — approximated as an OR over the
-    text's tokens, BM25-ranked [G: GRN_OP_SIMILAR; the reference ranks by
-    shared high-IDF terms — our OR-of-terms scores the same docs with
-    summed BM25, documented approximation]."""
+    """Similar search (QL ``*S"text"``) — docs sharing the input's RARE
+    terms, BM25-ranked [G: GRN_OP_SIMILAR → grn_ii_similar_search: the
+    reference sorts the input's tokens by document frequency and keeps
+    only the rarest (highest-idf) ones]. At plan time
+    FulltextIndex._expand_ast resolves ``tids`` to the top
+    SIMILAR_MAX_TERMS known tokens by (df asc, term asc) — a long input
+    document plans a BOUNDED leaf set, never one per distinct token.
+    ``tids`` is ((term_id, df), ...); None = unresolved (evaluates over
+    every known token — legacy hand-built ASTs)."""
 
     text: str
+    tids: tuple | None = None
 
 
 @dataclass
@@ -223,6 +229,8 @@ def query_terms(node) -> list[str]:
     """All raw term/phrase texts in the tree (for lexicon lookup)."""
     if node is None:
         return []
+    if isinstance(node, Similar) and node.tids is not None:
+        return []  # rare-term selection already resolved the tids
     if isinstance(node, (Term, Phrase, Near, Similar)):
         return [node.text]
     if isinstance(node, (Prefix, TermRange)):
@@ -230,6 +238,20 @@ def query_terms(node) -> list[str]:
     if isinstance(node, Not):
         return query_terms(node.child)
     return [t for c in node.children for t in query_terms(c)]
+
+
+def collect_similar_tids(node) -> list[tuple]:
+    """All resolved (term_id, df) pairs from Similar leaves (for the
+    plan's needed_tids/df_by_tid — the postings pruning predicate)."""
+    if node is None:
+        return []
+    if isinstance(node, Similar):
+        return list(node.tids or ())
+    if isinstance(node, (Term, Phrase, Near, Prefix, TermRange)):
+        return []
+    if isinstance(node, Not):
+        return collect_similar_tids(node.child)
+    return [p for c in node.children for p in collect_similar_tids(c)]
 
 
 def collect_ranges(node) -> list[TermRange]:
@@ -247,13 +269,14 @@ def collect_ranges(node) -> list[TermRange]:
 
 def rewrite(node, fn):
     """Bottom-up AST rewrite: ``fn(leaf) -> node`` applied to every
-    Term/Phrase/Prefix leaf (query expansion, prefix expansion)."""
+    Term/Phrase/Prefix/Similar leaf (query expansion, prefix expansion,
+    similar rare-term selection)."""
     if node is None:
         return None
-    if isinstance(node, (Term, Phrase, Prefix)):
+    if isinstance(node, (Term, Phrase, Prefix, Similar)):
         return fn(node)
-    if isinstance(node, (Near, Similar, TermRange)):
-        return node  # positional/similarity/range leaves pass through
+    if isinstance(node, (Near, TermRange)):
+        return node  # positional/range leaves pass through
     if isinstance(node, Not):
         child = rewrite(node.child, fn)
         return Not(child) if child is not None else None

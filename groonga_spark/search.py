@@ -155,6 +155,13 @@ class FulltextIndex:
     #: (search-head latency). Class attr so tests/deployments can tune.
     PREFIX_DRIVER_SCAN_MAX = 10_000_000
 
+    #: Similar (*S) keeps only this many of the input's rarest (lowest
+    #: df) known tokens — the reference's rare-term selection [G:
+    #: lib/ii.c · grn_ii_similar_search], and the bound that keeps a
+    #: whole-document *S input from planning hundreds of posting
+    #: fetches.
+    SIMILAR_MAX_TERMS = 30
+
     def _prefix_terms(self, prefix: str, limit: int | None = None) -> list[str]:
         """Lexicon range scan for a prefix — the PAT-trie predictive
         cursor [G: lib/pat.c · GRN_CURSOR_PREFIX]. Exact: [p, succ(p))
@@ -367,12 +374,38 @@ class FulltextIndex:
         ``expansions`` (query_expand [G: lib/expr.c ·
         grn_expr_syntax_expand_query]) maps a term to synonym
         alternatives OR-ed with it."""
-        from groonga_spark.ql import Or, Prefix, Term, TermRange, rewrite
+        from groonga_spark.ql import (
+            Or,
+            Prefix,
+            Similar,
+            Term,
+            TermRange,
+            rewrite,
+        )
 
         if ast is None:
             return None
 
         def fn(leaf):
+            if isinstance(leaf, Similar) and leaf.tids is None:
+                # rare-term selection [G: lib/ii.c · grn_ii_similar_search
+                # sorts the input's tokens by df and keeps the rarest]:
+                # rank the input's distinct KNOWN tokens by (df asc, term
+                # asc — deterministic) and keep SIMILAR_MAX_TERMS. Bounds
+                # the plan for a long input document AND matches the
+                # reference's semantics; df comes from the memoized
+                # pruned lexicon lookup (driver-cheap).
+                mode = self.meta["tokenizer_mode"]
+                toks = sorted({
+                    term for term, _ in
+                    tokenize_str(normalize_str(leaf.text), mode)
+                })
+                rows = self._lexicon_lookup(toks)  # known tokens only
+                sel = sorted(rows, key=lambda r: (r[2], r[0]))
+                sel = sel[: self.SIMILAR_MAX_TERMS]
+                return Similar(leaf.text, tids=tuple(
+                    sorted((int(t), float(d)) for _, t, d in sel)
+                ))
             if isinstance(leaf, Prefix):
                 pfx = normalize_str(leaf.text)
                 rng = self._prefix_tid_range(pfx)
@@ -400,7 +433,7 @@ class FulltextIndex:
         TermRange leaves contribute only their (lo, hi) spans — the plan
         stays O(query terms) however many lexicon terms a range covers
         (per-term df rides the posting blocks, attached at finalize)."""
-        from groonga_spark.ql import collect_ranges
+        from groonga_spark.ql import collect_ranges, collect_similar_tids
 
         mode = self.meta["tokenizer_mode"]
         texts = sorted(set(query_terms(ast)))
@@ -413,6 +446,13 @@ class FulltextIndex:
         rows = self._lexicon_lookup(sorted(all_tokens))
         tid = {term: t_id for term, t_id, _ in rows}
         df_by_tid = {t_id: df for _, t_id, df in rows}
+        # Similar leaves carry their rare-term-selected (tid, df) pairs
+        # (resolved in _expand_ast) — their texts are NOT in query_terms,
+        # so the postings predicate stays bounded by the selection
+        needed = set(tid.values())
+        for s_tid, s_df in collect_similar_tids(ast):
+            needed.add(s_tid)
+            df_by_tid.setdefault(s_tid, s_df)
         ranges = collect_ranges(ast)
         plan = {
             "tokens_by_text": {
@@ -420,7 +460,7 @@ class FulltextIndex:
                 for t, toks in tokens_by_text.items()
             },
             "df_by_tid": df_by_tid,
-            "needed_tids": sorted(set(tid.values())),
+            "needed_tids": sorted(needed),
             "tid_ranges": sorted({(r.lo_tid, r.hi_tid) for r in ranges}),
             "ranges_sum_df": float(sum(r.sum_df for r in ranges)),
         }

@@ -353,12 +353,18 @@ class SegmentQueryKernel:
                 return (d, s * float(len(tids))) if len(tids) > 1 else (d, s)
             return self._eval_near(tids, node.max_interval)
         if isinstance(node, Similar):
-            # similar-search is an OR over the text's tokens: an
+            # similar-search is an OR over the text's RARE tokens: the
+            # plan-time rewrite resolves node.tids to the top-m known
+            # tokens by idf (reference rare-term selection); an
             # OUT-OF-VOCABULARY token contributes nothing (unlike a
             # phrase, where an unknown token makes the whole leaf
-            # unmatchable) — only all-unknown yields empty
-            toks = self.plan["tokens_by_text"].get(node.text) or []
-            tids = [t for t in toks if t is not None]
+            # unmatchable) — only all-unknown yields empty. Unresolved
+            # nodes (hand-built ASTs) fall back to every known token.
+            if node.tids is not None:
+                tids = [t for t, _ in node.tids]
+            else:
+                toks = self.plan["tokens_by_text"].get(node.text) or []
+                tids = [t for t in toks if t is not None]
             if not tids:
                 return empty
             # OR over distinct tokens (sorted order → deterministic

@@ -97,10 +97,17 @@ class OracleIndex:
                 out[d] += counts[t] * st[d]
         return dict(out)
 
+    SIMILAR_MAX_TERMS = 30  # mirrors FulltextIndex.SIMILAR_MAX_TERMS
+
     def _similar(self, text: str) -> dict[int, float]:
         toks = [t for t, _ in tokenize_str(normalize_str(text), self.mode)]
+        # rare-term selection: distinct KNOWN tokens ranked (df asc,
+        # term asc), top SIMILAR_MAX_TERMS — mirrors _expand_ast
+        known = sorted(t for t in set(toks) if t in self.postings)
+        sel = sorted(known, key=lambda t: (len(self.postings[t]), t))
+        sel = sel[: self.SIMILAR_MAX_TERMS]
         acc = defaultdict(float)
-        for t in sorted(set(toks)):
+        for t in sorted(sel):
             for d, s in self.score_term(t).items():
                 acc[d] += s
         return dict(acc)

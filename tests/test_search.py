@@ -1339,3 +1339,48 @@ def test_prefix_prod_path_never_materializes_matched_rows(spark, tmp_path):
                 for r in idx2.search("pre* common", 15,
                                      use_cache=False).collect()]
     assert got_hits == want_hits
+
+
+def test_similar_rare_term_selection_bounds_the_plan(spark, corpus, built,
+                                                     oracle):
+    """*S on a LONG input must plan a bounded leaf set: the expand-time
+    rewrite keeps only the SIMILAR_MAX_TERMS rarest (df asc, term asc)
+    known tokens [G: grn_ii_similar_search rare-term selection], the
+    plan's postings predicate covers exactly those tids, and results
+    match the oracle's identically-selected token set."""
+    from groonga_spark.ql import Similar, parse_query
+
+    docs, rows = corpus
+    # a long input: several whole documents concatenated
+    long_text = " ".join(t for _, t in rows[:20])
+    n_distinct = len(set(long_text.split()))
+    assert n_distinct > 5
+
+    built.SIMILAR_MAX_TERMS = 5
+    oracle.SIMILAR_MAX_TERMS = 5
+    try:
+        ast = built._expand_ast(parse_query(f'*S"{long_text}"'))
+        assert isinstance(ast, Similar)
+        assert ast.tids is not None and len(ast.tids) == 5
+        plan = built._plan(ast)
+        assert len(plan["needed_tids"]) == 5  # postings fetch is bounded
+
+        # selection = 5 rarest by (df asc, term asc), from the oracle's
+        # own df table
+        want_terms = sorted(
+            {t for t in set(long_text.split()) if t in oracle.postings},
+            key=lambda t: (len(oracle.postings[t]), t),
+        )[:5]
+        lex = {r["term_id"]: r["term"] for r in built.lexicon.collect()}
+        assert sorted(lex[t] for t, _ in ast.tids) == sorted(want_terms)
+
+        got = [(r["doc_id"], r["score"])
+               for r in built.search(f'*S"{long_text}"', 10,
+                                     use_cache=False).collect()]
+        want = oracle.search(f'*S"{long_text}"', 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6
+    finally:
+        del built.SIMILAR_MAX_TERMS
+        oracle.SIMILAR_MAX_TERMS = 30
