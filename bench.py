@@ -7,7 +7,11 @@ headline training-data ops. Prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "build_docs_per_sec": ...,
-     "query_p50_s": ..., "query_p95_s": ..., ...}
+     "query_p50_s": ..., "query_p95_s": ..., "runs": {...}, ...}
+
+Every timed item is min-of-3 WITHIN one invocation (build included),
+with the raw runs reported under "runs" — the host's ±15–25% noise
+waves made single-shot snapshots read as phantom regressions.
 
 Scaling protocol (BASELINE.md row 5): run this twice on the same input —
 ``SPARK_GRAFT_CPUS=8`` then ``SPARK_GRAFT_CPUS=32`` — and compare
@@ -60,12 +64,41 @@ def main() -> None:
 
     idx_path = tempfile.mkdtemp(prefix="gs_bench_idx_")
     timings: dict[str, float] = {}
+    # every run of every timed item, for the record: the host's
+    # documented ±15–25% noise waves made single-shot snapshots
+    # manufacture phantom regressions round after round — min-of-N in
+    # ONE invocation is the fix, and reporting the raw runs lets the
+    # next reader judge the spread.
+    runs: dict[str, list[float]] = {}
+
+    def timeit(name: str, fn, n: int = 3) -> float:
+        rs = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            rs.append(round(time.time() - t0, 4))
+        runs[name] = rs
+        best = min(rs)
+        timings[name] = round(best, 3)
+        return best
+
     try:
         # ---- metric 1: end-to-end index build ----
         t0 = time.time()
         meta = build_index(spark, docs, idx_path, mode="delimit",
                            resume=False)
         build_s = time.time() - t0
+        timings["index_build"] = round(build_s, 3)
+        runs["index_build"] = [round(build_s, 4)]
+        # two warm rebuilds (resume=False rebuilds from scratch; the
+        # corpus/JVM are warm): min-of-3 for the headline build number
+        for _ in range(2):
+            shutil.rmtree(idx_path, ignore_errors=True)
+            t0 = time.time()
+            meta = build_index(spark, docs, idx_path, mode="delimit",
+                               resume=False)
+            runs["index_build"].append(round(time.time() - t0, 4))
+        build_s = min(runs["index_build"])
         timings["index_build"] = round(build_s, 3)
 
         # ---- metric 2: BM25 top-10 latency, warm index ----
@@ -74,24 +107,18 @@ def main() -> None:
         q_times = []
         cached_times = []
         for name, q in QUERY_SET:
-            best = None
-            for _ in range(2):  # best-of-2: shared-sandbox noise is ±25%
-                t0 = time.time()
-                # use_cache=False: measure the kernel, not the result
-                # cache (reported separately below)
-                idx.search(q, k=10, use_cache=False).collect()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            q_times.append(best)
+            # use_cache=False: measure the kernel, not the result cache
+            # (reported separately below)
+            q_times.append(timeit(
+                name,
+                lambda q=q: idx.search(q, k=10, use_cache=False).collect(),
+            ))
             idx.search(q, k=10).collect()  # populate the result cache
-            cbest = None
-            for _ in range(2):  # same best-of-2 discipline as uncached
-                t0 = time.time()
-                idx.search(q, k=10).collect()
-                cdt = time.time() - t0
-                cbest = cdt if cbest is None else min(cbest, cdt)
-            cached_times.append(cbest)
+            cached_times.append(timeit(
+                f"{name}_cached",
+                lambda q=q: idx.search(q, k=10).collect(),
+            ))
+            del timings[f"{name}_cached"]  # runs keep it; queries{} stays lean
 
         # ---- headline training-data ops ----
         from groonga_spark.dedup import minhash_lsh_pairs, simhash
@@ -101,18 +128,13 @@ def main() -> None:
         # lets Catalyst prune every expression (the op would time a
         # zero-column scan — fixed in round 3, so token_stats/simhash
         # numbers are not comparable to earlier rounds' labels)
-        t0 = time.time()
-        token_stats(docs).agg(
+        timeit("token_stats", lambda: token_stats(docs).agg(
             F.sum("n_bpe_tokens"), F.count_distinct("fingerprint"),
             F.avg("quality"),
-        ).collect()
-        timings["token_stats"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        minhash_lsh_pairs(docs).count()
-        timings["minhash_lsh"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        simhash(docs).agg(F.count_distinct("simhash")).collect()
-        timings["simhash"] = round(time.time() - t0, 3)
+        ).collect())
+        timeit("minhash_lsh", lambda: minhash_lsh_pairs(docs).count())
+        timeit("simhash", lambda: simhash(docs).agg(
+            F.count_distinct("simhash")).collect())
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
@@ -121,9 +143,9 @@ def main() -> None:
             emb = spark.read.parquet(emb_path)
             probe = [float(x) for x in emb.filter(F.col("vec_id") == 0)
                      .select("embedding").collect()[0][0]]
-            t0 = time.time()
-            cosine_topk(emb, probe, k=10, exclude_id=0).collect()
-            timings["embedding_topk"] = round(time.time() - t0, 3)
+            timeit("embedding_topk",
+                   lambda: cosine_topk(emb, probe, k=10,
+                                       exclude_id=0).collect())
 
         total = time.time() - t_start
         out = {
@@ -143,6 +165,8 @@ def main() -> None:
                 max(0, -(-len(q_times) * 95 // 100) - 1)], 4),
             "query_cached_p50_s": round(statistics.median(cached_times), 4),
             "cpus": cpus,
+            "runs_per_query": 3,
+            "runs": runs,
         }
         print(json.dumps(out))
     finally:
