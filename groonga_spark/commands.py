@@ -60,6 +60,20 @@ class CommandContext:
     references: dict[str, dict[str, tuple[str, str]]] = field(
         default_factory=dict
     )
+    #: DDL metadata recorded by table_create/column_create (flags, key
+    #: type, default_tokenizer, declared index columns) — what the
+    #: reference keeps in the grn schema [G: lib/db.c table/column specs]
+    ddl: dict[str, dict] = field(default_factory=dict)
+    #: where column_create COLUMN_INDEX materializes index stores; a
+    #: temp dir unless the caller points it at durable storage
+    index_root: str | None = None
+
+    def _index_root(self) -> str:
+        if self.index_root is None:
+            import tempfile
+
+            self.index_root = tempfile.mkdtemp(prefix="gs_cmd_idx_")
+        return self.index_root
 
     def register(self, name: str, df: DataFrame, index=None,
                  id_col: str = "doc_id",
@@ -111,6 +125,205 @@ def execute(ctx: CommandContext, command: str, **params):
 # commands
 # --------------------------------------------------------------------------
 
+#: Groonga data types → Spark SQL types [G: include/groonga/groonga.h ·
+#: grn_builtin_type]. GeoPoints are 'latxlon' strings (the convention
+#: groonga_spark.functions.geo_* parse).
+_GRN_TYPES = {
+    "Bool": "boolean",
+    "Int8": "tinyint",
+    "UInt8": "smallint",
+    "Int16": "smallint",
+    "UInt16": "int",
+    "Int32": "int",
+    "UInt32": "long",
+    "Int64": "long",
+    "UInt64": "long",
+    "Float32": "float",
+    "Float": "double",
+    "Time": "timestamp",
+    "ShortText": "string",
+    "Text": "string",
+    "LongText": "string",
+    "TokyoGeoPoint": "string",
+    "WGS84GeoPoint": "string",
+}
+
+
+def _grn_type(name: str) -> str:
+    t = _GRN_TYPES.get(name.strip())
+    if t is None:
+        raise ValueError(
+            f"unknown type {name!r}; supported: {sorted(_GRN_TYPES)}"
+        )
+    return t
+
+
+def _cmd_table_create(ctx: CommandContext, name: str,
+                      flags: str = "TABLE_HASH_KEY",
+                      key_type: str = "ShortText",
+                      value_type: str | None = None,
+                      default_tokenizer: str | None = None,
+                      normalizer: str | None = None,
+                      token_filters: str | None = None):
+    """The reference's table_create [G: lib/proc.c · proc_table_create]:
+    registers an EMPTY table with the declared key. TABLE_NO_KEY tables
+    get the implicit ``_id`` (Int64) instead of ``_key``; hash/pat/dat
+    key flavors are a storage detail the reference exposes — here every
+    keyed table is a DataFrame with a ``_key`` column (lookup strategy
+    is Catalyst's choice). default_tokenizer/normalizer/token_filters
+    are recorded and picked up by column_create COLUMN_INDEX."""
+    if name in ctx.tables:
+        raise ValueError(f"table {name!r} already exists")
+    fl = {f.strip() for f in flags.split("|") if f.strip()}
+    no_key = "TABLE_NO_KEY" in fl
+    cols = ["_id long"] if no_key else [f"_key {_grn_type(key_type)}"]
+    if value_type:
+        cols.append(f"_value {_grn_type(value_type)}")
+    df = ctx.spark.createDataFrame([], ", ".join(cols))
+    ctx.register(name, df, id_col="_id" if no_key else "_key")
+    ctx.ddl[name] = {
+        "flags": sorted(fl) or ["TABLE_HASH_KEY"],
+        "key_type": None if no_key else key_type,
+        "value_type": value_type,
+        "default_tokenizer": default_tokenizer,
+        "normalizer": normalizer,
+        "token_filters": token_filters,
+        "columns": {},
+    }
+    return True
+
+
+def _index_mode_for(ctx: CommandContext, lexicon_table: str) -> str:
+    """Tokenizer mode string for an index column: the LEXICON table's
+    declared default_tokenizer + token_filters (reference layout: the
+    index column lives on the lexicon table)."""
+    d = ctx.ddl.get(lexicon_table, {})
+    mode = _mode_of(d.get("default_tokenizer") or "TokenBigram")
+    for tf in (d.get("token_filters") or "").split(","):
+        tf = tf.strip()
+        if not tf:
+            continue
+        if tf == "TokenFilterStem":
+            mode += "|stem"
+        elif tf.startswith("TokenFilterStopWord"):
+            inner = tf[tf.find("(") + 1 : tf.rfind(")")]
+            mode += "|stop:" + ",".join(inner.split(";"))
+        else:
+            raise ValueError(f"unknown token filter {tf!r}")
+    return mode
+
+
+def _cmd_column_create(ctx: CommandContext, table: str, name: str,
+                       flags: str = "COLUMN_SCALAR",
+                       type: str | None = None,  # noqa: A002
+                       source: str | None = None):
+    """The reference's column_create [G: lib/proc.c ·
+    proc_column_create]:
+
+    - COLUMN_SCALAR/COLUMN_VECTOR with a data type → a (null-filled)
+      typed column on the table.
+    - a TABLE as the type → a reference column (dot-path accessor
+      target; column_list reports the table as its range).
+    - COLUMN_INDEX on a lexicon table with ``type`` = source table and
+      ``source`` = its text column(s) → builds the fulltext index
+      (multi-column source = WITH_SECTION → per-field BM25F index).
+      The source table's id column must be integer-typed (the engine's
+      doc_id contract — the reference's implicit _id is an int too);
+      WITH_POSITION is always on (positions are stored regardless).
+    """
+    from pyspark.sql import functions as F
+
+    if table not in ctx.tables:
+        raise ValueError(f"unknown table {table!r}")
+    fl = {f.strip() for f in flags.split("|") if f.strip()}
+    meta = {"flags": sorted(fl), "type": type, "source": source}
+
+    if "COLUMN_INDEX" in fl:
+        if type not in ctx.tables:
+            raise ValueError(
+                "COLUMN_INDEX type must be the SOURCE table; "
+                f"unknown table {type!r}"
+            )
+        srcs = [c.strip() for c in (source or "").split(",") if c.strip()]
+        if not srcs:
+            raise ValueError("COLUMN_INDEX needs --source column(s)")
+        docs = ctx.tables[type]
+        id_col = ctx.id_cols.get(type, "doc_id")
+        id_type = dict(docs.dtypes).get(id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"COLUMN_INDEX source table {type!r} needs an integer id "
+                f"column ({id_col!r} is {id_type}): create it with "
+                "TABLE_NO_KEY (implicit _id) or an Int*/UInt* key"
+            )
+        missing = [c for c in srcs if c not in docs.columns]
+        if missing:
+            raise ValueError(f"source column(s) {missing} not in {type!r}")
+        import os as _os
+
+        mode = _index_mode_for(ctx, table)
+        path = _os.path.join(ctx._index_root(), f"{table}__{name}")
+        if len(srcs) == 1:
+            from groonga_spark.build import build_index
+            from groonga_spark.search import FulltextIndex
+
+            build_index(
+                ctx.spark,
+                docs.select(
+                    F.col(id_col).cast("long").alias("doc_id"),
+                    F.coalesce(F.col(srcs[0]), F.lit("")).alias("text"),
+                ),
+                path, mode=mode, resume=False,
+            )
+            ctx.indexes[type] = FulltextIndex(ctx.spark, path)
+        else:
+            from groonga_spark.multifield import (
+                MultiFieldIndex,
+                build_multifield_index,
+            )
+
+            build_multifield_index(
+                ctx.spark, docs, path, fields=srcs, mode=mode,
+                id_col=id_col,
+            )
+            ctx.indexes[type] = MultiFieldIndex(ctx.spark, path)
+        meta["path"] = path
+        ctx.ddl.setdefault(table, {}).setdefault("columns", {})[name] = meta
+        return True
+
+    if type in ctx.tables:
+        # reference column: physically the other table's key type
+        ref_key = ctx.id_cols.get(type, "doc_id")
+        key_type = dict(ctx.tables[type].dtypes).get(ref_key, "string")
+        col_type = key_type
+        refs = ctx.references.setdefault(table, {})
+        refs[name] = (type, ref_key)
+    else:
+        col_type = _grn_type(type or "ShortText")
+    if "COLUMN_VECTOR" in fl:
+        col_type = f"array<{col_type}>"
+    if name in ctx.tables[table].columns:
+        raise ValueError(f"column {name!r} already exists on {table!r}")
+    ctx.tables[table] = ctx.tables[table].withColumn(
+        name, F.lit(None).cast(col_type)
+    )
+    ctx.ddl.setdefault(table, {}).setdefault("columns", {})[name] = meta
+    return True
+
+
+def _cmd_truncate(ctx: CommandContext, target_name: str):
+    """The reference's truncate [G: lib/proc.c · proc_truncate]: drop
+    every record, keep the schema. A fulltext index OVER the truncated
+    table is dropped too (its postings describe rows that no longer
+    exist — the reference clears index columns the same way)."""
+    if target_name not in ctx.tables:
+        raise ValueError(f"unknown table {target_name!r}")
+    df = ctx.tables[target_name]
+    ctx.tables[target_name] = ctx.spark.createDataFrame([], df.schema)
+    ctx.indexes.pop(target_name, None)
+    return True
+
+
 def _cmd_status(ctx: CommandContext):
     import pyspark
 
@@ -126,12 +339,20 @@ def _cmd_status(ctx: CommandContext):
 def _cmd_table_list(ctx: CommandContext):
     out = []
     for name, df in sorted(ctx.tables.items()):
-        out.append({
+        row = {
             "name": name,
             "n_columns": len(df.columns),
             "has_index": name in ctx.indexes,
             "key": ctx.id_cols.get(name, "doc_id"),
-        })
+        }
+        d = ctx.ddl.get(name)
+        if d:  # DDL-created tables also report their declaration
+            row["flags"] = "|".join(d["flags"])
+            if d.get("key_type"):
+                row["domain"] = d["key_type"]
+            if d.get("default_tokenizer"):
+                row["default_tokenizer"] = d["default_tokenizer"]
+        out.append(row)
     return out
 
 
@@ -139,13 +360,26 @@ def _cmd_column_list(ctx: CommandContext, table: str):
     df = ctx.tables[table]
     refs = ctx.references.get(table, {})
     out = []
+    ddl_cols = ctx.ddl.get(table, {}).get("columns", {})
     for f in df.schema.fields:
         row = {"name": f.name, "type": f.dataType.simpleString()}
         if f.name in refs:
             # a reference column reports the referenced TABLE as its
             # range, the Groonga column_list convention
             row["range"] = refs[f.name][0]
+        if f.name in ddl_cols:
+            row["flags"] = "|".join(ddl_cols[f.name]["flags"])
         out.append(row)
+    # index columns live only in the DDL record (the index store, not
+    # the DataFrame, holds their data) — still listed, like the
+    # reference lists them on the lexicon table
+    for cname, meta in ddl_cols.items():
+        if "COLUMN_INDEX" in meta["flags"]:
+            out.append({
+                "name": cname, "type": "index",
+                "flags": "|".join(meta["flags"]),
+                "range": meta["type"], "source": meta["source"],
+            })
     return out
 
 
@@ -356,6 +590,9 @@ def _cmd_cache_limit(ctx: CommandContext, max: int | None = None):  # noqa: A002
 
 
 _COMMANDS = {
+    "table_create": _cmd_table_create,
+    "column_create": _cmd_column_create,
+    "truncate": _cmd_truncate,
     "status": _cmd_status,
     "table_list": _cmd_table_list,
     "column_list": _cmd_column_list,

@@ -283,3 +283,100 @@ def test_select_body_truncation_is_surfaced(ctx, monkeypatch):
     small = execute(ctx, "select", table="Docs", filter='lang == "en"',
                     sort_keys="doc_id", output_columns="doc_id", limit=2)
     assert len(small[0][0]) == 1  # plain [n_hits] header
+
+
+def test_ddl_table_column_create_index_truncate(spark, tmp_path):
+    """table_create / column_create / truncate with the reference's
+    parameter conventions [G: lib/proc.c · proc_table_create /
+    proc_column_create / proc_truncate]: schema objects appear in
+    table_list/column_list/schema, COLUMN_INDEX builds a queryable
+    fulltext index from the lexicon table's declared tokenizer, and
+    truncate empties rows while keeping the schema."""
+    ctx = CommandContext(spark, index_root=str(tmp_path / "cmd_idx"))
+
+    assert execute(ctx, "table_create", name="Tags",
+                   flags="TABLE_PAT_KEY", key_type="ShortText") is True
+    execute(ctx, "table_create", name="Docs", flags="TABLE_NO_KEY")
+    execute(ctx, "column_create", table="Docs", name="text", type="Text")
+    execute(ctx, "column_create", table="Docs", name="tag", type="Tags")
+    execute(ctx, "column_create", table="Docs", name="scores",
+            flags="COLUMN_VECTOR", type="Float")
+
+    execute(ctx, "load", table="Docs", values=[
+        {"_id": 1, "text": "spark fast engine"},
+        {"_id": 2, "text": "slow table scan"},
+        {"_id": 3, "text": "spark table merge"},
+    ])
+    assert ctx.tables["Docs"].count() == 3
+
+    execute(ctx, "table_create", name="Terms", flags="TABLE_PAT_KEY",
+            key_type="ShortText", default_tokenizer="TokenDelimit")
+    execute(ctx, "column_create", table="Terms", name="docs_text",
+            flags="COLUMN_INDEX|WITH_POSITION", type="Docs",
+            source="text")
+
+    body = execute(ctx, "select", table="Docs", query="spark",
+                   sort_keys="_id", output_columns="_id")
+    got = sorted(r[0] for r in body[0][2:])
+    assert got == [1, 3]
+
+    tl = {r["name"]: r for r in execute(ctx, "table_list")}
+    assert set(tl) == {"Tags", "Docs", "Terms"}
+    assert tl["Terms"]["default_tokenizer"] == "TokenDelimit"
+    assert tl["Docs"]["has_index"] and tl["Docs"]["key"] == "_id"
+    assert "TABLE_PAT_KEY" in tl["Tags"]["flags"]
+
+    cl_terms = {c["name"]: c for c in
+                execute(ctx, "column_list", table="Terms")}
+    assert cl_terms["docs_text"]["range"] == "Docs"
+    assert cl_terms["docs_text"]["source"] == "text"
+    assert "COLUMN_INDEX" in cl_terms["docs_text"]["flags"]
+
+    cl_docs = {c["name"]: c for c in
+               execute(ctx, "column_list", table="Docs")}
+    assert cl_docs["tag"]["range"] == "Tags"
+    assert cl_docs["scores"]["type"] == "array<double>"
+    assert cl_docs["_id"]["type"] == "bigint"
+    assert "Docs" in execute(ctx, "schema")["tables"]
+
+    execute(ctx, "truncate", target_name="Docs")
+    assert ctx.tables["Docs"].count() == 0
+    assert ctx.tables["Docs"].columns == ["_id", "text", "tag", "scores"]
+    assert "Docs" not in ctx.indexes
+
+
+def test_ddl_multifield_index_and_errors(spark, tmp_path):
+    """Multi-column COLUMN_INDEX source builds a per-field BM25F index
+    (WITH_SECTION analogue); bad DDL raises clear errors."""
+    import pytest as _pytest
+
+    ctx = CommandContext(spark, index_root=str(tmp_path / "cmd_idx2"))
+    execute(ctx, "table_create", name="Pages", flags="TABLE_NO_KEY")
+    execute(ctx, "column_create", table="Pages", name="title", type="Text")
+    execute(ctx, "column_create", table="Pages", name="body", type="Text")
+    execute(ctx, "load", table="Pages", values=[
+        {"_id": 1, "title": "spark guide", "body": "fast merge engine"},
+        {"_id": 2, "title": "scan notes", "body": "slow spark table"},
+    ])
+    execute(ctx, "table_create", name="Lex", key_type="ShortText",
+            default_tokenizer="TokenDelimit")
+    execute(ctx, "column_create", table="Lex", name="pages_idx",
+            flags="COLUMN_INDEX|WITH_POSITION|WITH_SECTION",
+            type="Pages", source="title,body")
+    body = execute(ctx, "select", table="Pages", query="spark",
+                   match_columns="title*2||body", sort_keys="_id",
+                   output_columns="_id")
+    assert sorted(r[0] for r in body[0][2:]) == [1, 2]
+
+    with _pytest.raises(ValueError, match="already exists"):
+        execute(ctx, "table_create", name="Pages")
+    with _pytest.raises(ValueError, match="integer id"):
+        # string-keyed table can't be an index source
+        execute(ctx, "table_create", name="SDocs", key_type="ShortText")
+        execute(ctx, "column_create", table="Lex", name="bad",
+                flags="COLUMN_INDEX", type="SDocs", source="x")
+    with _pytest.raises(ValueError, match="unknown type"):
+        execute(ctx, "column_create", table="Pages", name="oops",
+                type="NotAType")
+    with _pytest.raises(ValueError, match="unknown table"):
+        execute(ctx, "truncate", target_name="Nope")
