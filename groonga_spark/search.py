@@ -481,13 +481,19 @@ class FulltextIndex:
     # pattern — same kernel, no job scheduling latency)
     DRIVER_QUERY_MAX_BYTES = 128 << 20
 
-    def _stats(self) -> dict:
-        return {
+    def _stats(self, scorer: str | None = None) -> dict:
+        st = {
             "n_docs": float(self.meta["n_docs"]),
             "avgdl": float(self.meta["avgdl"]),
             "k1": float(self.meta["k1"]),
             "b": float(self.meta["b"]),
         }
+        if scorer and scorer != "bm25":
+            from groonga_spark.score import get_scorer
+
+            get_scorer(scorer)  # fail fast on the driver, by name
+            st["scorer"] = scorer
+        return st
 
     # -- deletes (tombstones) ---------------------------------------------
     #
@@ -714,8 +720,9 @@ class FulltextIndex:
     def search(self, query: str, k: int = 10,
                distributed: bool | None = None,
                expansions: dict | None = None,
-               use_cache: bool = True) -> DataFrame:
-        """BM25 top-k for a Groonga-QL query → DataFrame(doc_id, score),
+               use_cache: bool = True,
+               scorer: str | None = None) -> DataFrame:
+        """Top-k for a Groonga-QL query → DataFrame(doc_id, score),
         ordered by (score desc, doc_id asc).
 
         ``distributed=None`` auto-routes: small posting volumes run on
@@ -723,14 +730,17 @@ class FulltextIndex:
         no job latency); large ones fan out per (segment, shard).
         ``expansions`` = synonym map (query_expand). Driver-local top-k
         results are served from the per-handle result cache unless
-        ``use_cache=False`` (invalidated by deletes/compaction)."""
+        ``use_cache=False`` (invalidated by deletes/compaction).
+        ``scorer`` picks a registered scorer (score.register_scorer —
+        the reference's pluggable scorers [G: lib/scorer.c]); default
+        BM25."""
         gen = self._check_generation()
         cache_key = None
         if use_cache and distributed is not True:
             exp_key = (tuple(sorted((t, tuple(v)) for t, v in
                                     expansions.items()))
                        if expansions else None)
-            cache_key = (query, k, exp_key, distributed, gen)
+            cache_key = (query, k, exp_key, distributed, gen, scorer)
             hit = self._result_cache_get(cache_key)
             if hit is not None:
                 return self.spark.createDataFrame(
@@ -757,14 +767,15 @@ class FulltextIndex:
                     tids, plan, force=(distributed is False)
                 )
                 if pdf is not None:
-                    kernel = SegmentQueryKernel(pdf, plan, self._stats(), k)
+                    kernel = SegmentQueryKernel(pdf, plan,
+                                                self._stats(scorer), k)
                     doc, score = kernel.run(ast)
                     out = pd.DataFrame({"doc_id": doc, "score": score})
                     if cache_key is not None:
                         self._result_cache_put(cache_key, out)
                     return spark.createDataFrame(out, empty_schema)
 
-        per_shard = self._per_shard_eval(ast, plan, self._stats(), k,
+        per_shard = self._per_shard_eval(ast, plan, self._stats(scorer), k,
                                          topk=True)
         return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -843,13 +854,15 @@ class FulltextIndex:
 
     def match_docs(self, query: str,
                    distributed: bool | None = None,
-                   expansions: dict | None = None) -> DataFrame:
+                   expansions: dict | None = None,
+                   scorer: str | None = None) -> DataFrame:
         """All matching doc ids (no top-k) — the COUNT/filter path."""
         ast = self._expand_ast(parse_query(query), expansions)
-        return self.match_ast(ast, distributed=distributed)
+        return self.match_ast(ast, distributed=distributed, scorer=scorer)
 
     def match_ast(self, ast,
-                  distributed: bool | None = None) -> DataFrame:
+                  distributed: bool | None = None,
+                  scorer: str | None = None) -> DataFrame:
         """match_docs over a pre-expanded AST (multi-field leaf eval and
         other composers enter here)."""
         self._check_generation()
@@ -866,7 +879,8 @@ class FulltextIndex:
                     plan["needed_tids"], plan, force=(distributed is False)
                 )
                 if pdf is not None:
-                    return self._run_local(pdf, ast, plan, self._stats(),
+                    return self._run_local(pdf, ast, plan,
+                                           self._stats(scorer),
                                            1 << 62, topk=False)
-        return self._per_shard_eval(ast, plan, self._stats(), 1 << 62,
+        return self._per_shard_eval(ast, plan, self._stats(scorer), 1 << 62,
                                     topk=False)

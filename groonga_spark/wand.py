@@ -46,7 +46,7 @@ from groonga_spark.ql import (
     Term,
     TermRange,
 )
-from groonga_spark.score import bm25
+from groonga_spark.score import get_scorer
 
 #: bench/test hook: when set to a list, pooled-path decodes append their
 #: block counts here (TermPostings.decode_idx* can be monkeypatch-spied,
@@ -152,15 +152,15 @@ class TermPostings:
     def block_bounds(self, stats: dict) -> np.ndarray:
         """Block-max WAND upper bounds from stored (max_tf, min_dl) + df —
         computed at query time so they survive incremental stat drift;
-        ×(1+1e-9) keeps them strict upper bounds under float rounding.
-        Per-term stats (BM25F fields) take precedence."""
-        from groonga_spark.score import block_upper_bounds, idf
-
+        strict upper bounds under float rounding (the scorer's bound
+        contract). Per-term stats (BM25F fields) take precedence for the
+        NUMBERS; the scorer choice rides the query-level stats."""
+        sc = get_scorer((stats or {}).get("scorer"))
         stats = self.stats or stats
-        return block_upper_bounds(
+        return sc.bound(
             self.blocks["max_tf"].to_numpy(np.float64),
             self.blocks["min_dl"].to_numpy(np.float64),
-            idf(self.df, stats["n_docs"]),
+            sc.idf(self.df, stats["n_docs"]),
             stats["avgdl"], stats["k1"], stats["b"],
         )
 
@@ -231,9 +231,11 @@ def _ordinalize(cand: np.ndarray, rep: np.ndarray, pos: np.ndarray):
 
 
 def _score_arrays(tp: TermPostings, stats: dict) -> np.ndarray:
+    sc = get_scorer((stats or {}).get("scorer"))
     stats = tp.stats or stats
-    return bm25(
-        tp.tf, tp.dl, tp.df, stats["n_docs"], stats["avgdl"], stats["k1"], stats["b"]
+    return sc.score(
+        tp.tf, tp.dl, sc.idf(tp.df, stats["n_docs"]),
+        stats["avgdl"], stats["k1"], stats["b"],
     )
 
 
@@ -255,6 +257,9 @@ class SegmentQueryKernel:
     def __init__(self, blocks: pd.DataFrame, plan: dict, stats: dict, k: int):
         self.plan = plan  # term text → {"term_id", "df", "tokens": [...]}
         self.stats = stats
+        # one scorer per query (stats["scorer"], default bm25): score fn
+        # + strict block bound threaded through every kernel path
+        self._sc = get_scorer(stats.get("scorer"))
         self.k = k
         self.tomb = plan.get("tombstones")
         self.by_tid: dict[int, TermPostings] = {}
@@ -315,6 +320,7 @@ class SegmentQueryKernel:
         self = cls.__new__(cls)
         self.plan = {"tokens_by_text": {}, "df_by_tid": {}}
         self.stats = stats
+        self._sc = get_scorer(stats.get("scorer"))
         self.k = k
         self.by_tid = dict(by_tid)
         self.tomb = None
@@ -400,20 +406,19 @@ class SegmentQueryKernel:
 
     def _bm25_pooled(self, tf: np.ndarray, dl: np.ndarray,
                      df_rep: np.ndarray) -> np.ndarray:
-        """bm25 over pooled arrays whose df varies per element. idf is
-        computed with math.log per UNIQUE df (not np.log over the array)
-        so every element gets the BIT-identical idf the per-term bm25()
-        produces — np.log may differ from libm by an ulp."""
-        from groonga_spark.score import idf as _idf
-
+        """The query's scorer over pooled arrays whose df varies per
+        element. idf is computed per UNIQUE df via the scorer's idf fn
+        (math.log, not np.log over the array) so every element gets the
+        BIT-identical idf the per-term path produces — np.log may differ
+        from libm by an ulp."""
         st = self.stats
         uniq, inv = np.unique(df_rep, return_inverse=True)
-        idf_u = np.asarray([_idf(d, st["n_docs"]) for d in uniq.tolist()],
-                           np.float64)
-        tf = tf.astype(np.float64)
-        dl = dl.astype(np.float64)
-        denom = tf + st["k1"] * (1.0 - st["b"] + st["b"] * dl / st["avgdl"])
-        return idf_u[inv] * tf / denom
+        idf_u = np.asarray(
+            [self._sc.idf(d, st["n_docs"]) for d in uniq.tolist()],
+            np.float64,
+        )
+        return self._sc.score(tf, dl, idf_u[inv],
+                              st["avgdl"], st["k1"], st["b"])
 
     def _eval_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         """TermRange ≡ OR over every term_id in [lo, hi] present here,
@@ -669,8 +674,8 @@ class SegmentQueryKernel:
                 break  # kth best beats every remaining bound
             idx = order[i : i + CHUNK]
             d, tf, dl = tp.decode_idx(idx)
-            s = bm25(tf, dl, tp.df, st["n_docs"], st["avgdl"],
-                     st["k1"], st["b"])
+            s = self._sc.score(tf, dl, self._sc.idf(tp.df, st["n_docs"]),
+                               st["avgdl"], st["k1"], st["b"])
             doc = np.concatenate([doc, d])
             score = np.concatenate([score, s])
             if len(doc) >= self.k:
@@ -808,8 +813,10 @@ class SegmentQueryKernel:
             splits = tps[t].decode_idx_split(np.asarray(new, np.int64))
             st = tps[t].stats or self.stats
             for b, (d, tf, dl) in zip(new, splits):
-                s = bm25(tf, dl, tps[t].df, st["n_docs"],
-                         st["avgdl"], st["k1"], st["b"])
+                s = self._sc.score(
+                    tf, dl, self._sc.idf(tps[t].df, st["n_docs"]),
+                    st["avgdl"], st["k1"], st["b"],
+                )
                 iid = np.searchsorted(bounds, d, side="right") - 1
                 decoded[(t, b)] = (d, s, iid)
 
@@ -997,9 +1004,6 @@ class SegmentQueryKernel:
         ascending-term_id block order (a doc sits in ≤1 block per term),
         reproducing _eval_range's float sequence exactly — bit-identical
         to the exhaustive path, ties and all."""
-        from groonga_spark.score import block_upper_bounds
-        from groonga_spark.score import idf as _idf
-
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         sub = self._range_sub(lo, hi)
         if not len(sub):
@@ -1010,12 +1014,13 @@ class SegmentQueryKernel:
         df_blk = sub["df"].to_numpy(np.float64)
         st = self.stats
         # per-block bounds with per-row df: idf via math.log per UNIQUE
-        # df (bit-matches the per-term path), shared bound formula
+        # df (bit-matches the per-term path), the scorer's bound formula
         uniq_df, inv_df = np.unique(df_blk, return_inverse=True)
         idf_u = np.asarray(
-            [_idf(d, st["n_docs"]) for d in uniq_df.tolist()], np.float64
+            [self._sc.idf(d, st["n_docs"]) for d in uniq_df.tolist()],
+            np.float64,
         )
-        ub = block_upper_bounds(
+        ub = self._sc.bound(
             sub["max_tf"].to_numpy(np.float64),
             sub["min_dl"].to_numpy(np.float64),
             idf_u[inv_df], st["avgdl"], st["k1"], st["b"],

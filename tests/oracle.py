@@ -20,8 +20,10 @@ K1, B = 1.2, 0.75
 
 
 class OracleIndex:
-    def __init__(self, docs: list[tuple[int, str]], mode: str):
+    def __init__(self, docs: list[tuple[int, str]], mode: str,
+                 scorer: str = "bm25"):
         self.mode = mode
+        self.scorer = scorer
         self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
         self.dl: dict[int, int] = {}
         for doc_id, text in docs:
@@ -41,6 +43,9 @@ class OracleIndex:
         w = self.idf(term)
         for d, plist in self.postings.get(term, {}).items():
             tf = float(len(plist))
+            if self.scorer == "tf_idf":  # [G: lib/scorer.c scorer_tf_idf]
+                out[d] = w * tf
+                continue
             dl = float(self.dl[d])
             out[d] = w * tf / (tf + K1 * (1 - B + B * dl / self.avgdl))
         return out

@@ -1384,3 +1384,135 @@ def test_similar_rare_term_selection_bounds_the_plan(spark, corpus, built,
     finally:
         del built.SIMILAR_MAX_TERMS
         oracle.SIMILAR_MAX_TERMS = 30
+
+
+def test_tf_idf_scorer_rank_identity(spark, corpus, built):
+    """The registered tf_idf scorer [G: lib/scorer.c · scorer_tf_idf]
+    must match a brute-force tf×idf oracle rank- and score-identically
+    on BOTH the driver-local and the distributed path; the default
+    stays BM25."""
+    docs, rows = corpus
+    o = OracleIndex(rows, mode="delimit", scorer="tf_idf")
+    queries = ["spark", "spark merge", "spark OR stream", "table -scan",
+               '"spark fast"', '*N4"spark merge"']
+    for q in queries:
+        got = [(r["doc_id"], r["score"])
+               for r in built.search(q, 10, scorer="tf_idf",
+                                     use_cache=False).collect()]
+        want = o.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6, q
+    # distributed ≡ local under the non-default scorer
+    dist = [(r["doc_id"], round(r["score"], 9)) for r in
+            built.search("spark merge", 10, scorer="tf_idf",
+                         distributed=True, use_cache=False).collect()]
+    loc = [(r["doc_id"], round(r["score"], 9)) for r in
+           built.search("spark merge", 10, scorer="tf_idf",
+                        use_cache=False).collect()]
+    assert dist == loc
+    # default stays BM25: same index, different scorer → different scores
+    bm = [(r["doc_id"], r["score"])
+          for r in built.search("spark", 10, use_cache=False).collect()]
+    ti = [(r["doc_id"], r["score"])
+          for r in built.search("spark", 10, scorer="tf_idf",
+                                use_cache=False).collect()]
+    assert bm != ti
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown scorer"):
+        built.search("spark", 10, scorer="nope", use_cache=False)
+
+
+def test_pruned_path_fuzz_tf_idf_scorer(spark, tmp_path):
+    """Pruned ≡ exhaustive, bit-identical, under the NON-DEFAULT scorer:
+    the scorer's block bound is threaded through all three kernels
+    (single-term WAND, interval pruner, pooled TermRange)."""
+    import random
+
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(10)] + ["alpha", "beta"]
+    rows = []
+    for d in range(2500):
+        words = ["alpha"] * (20 if d < 80 else 1) if rng.random() < 0.5 \
+            else []
+        words += [rng.choice(vocab) for _ in range(rng.randrange(4, 24))]
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_fuzz_tfidf")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=40)
+    idx = FulltextIndex(spark, path)
+    stats = idx._stats("tf_idf")
+    assert stats["scorer"] == "tf_idf"
+
+    def rand_query():
+        t = rng.choice(vocab + ["zzznope"])
+        r = rng.random()
+        if r < 0.25:
+            return t
+        if r < 0.45:
+            return f"{t} {rng.choice(vocab)}"
+        if r < 0.6:
+            return f"({t} OR {rng.choice(vocab)}) {rng.choice(vocab)}"
+        if r < 0.75:
+            return f'"{t} {rng.choice(vocab)}" OR {rng.choice(vocab)}'
+        if r < 0.9:
+            return t[: rng.randrange(1, 2)] + "*"  # TermRange pooled
+        return f"{t} -{rng.choice(vocab)}"
+
+    pruned_used = 0
+    for _ in range(60):
+        q = rand_query()
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        if not (plan["needed_tids"] or plan["tid_ranges"]):
+            continue
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        if pdf is None:
+            continue
+        k = rng.choice([1, 5, 20])
+        kern = SegmentQueryKernel(pdf, plan, stats, k)
+        kern.PRUNE_MIN_BLOCKS = 0
+        pr = kern._pruned_multi(ast)
+        want = _topk(*SegmentQueryKernel(pdf, plan, stats, k).eval(ast), k)
+        if pr is None:
+            continue
+        pruned_used += 1
+        assert (pr[0] == want[0]).all(), (q, k)
+        assert (pr[1] == want[1]).all(), (q, k)
+    assert pruned_used >= 30, pruned_used
+
+
+def test_register_custom_scorer(spark, corpus, built):
+    """register_scorer is the §2.11 extension point: a user scorer
+    (score fn + strict block bound) drives the pruned kernels through
+    search(scorer=name)."""
+    import numpy as np
+
+    from groonga_spark.score import SCORERS, register_scorer
+
+    def tf_only(tf, dl, idf_el, avgdl, k1, b):
+        return np.asarray(tf).astype(np.float64)
+
+    def tf_only_bound(max_tf, min_dl, idf_el, avgdl, k1, b):
+        return np.asarray(max_tf, np.float64)
+
+    register_scorer("tf_only", tf_only, tf_only_bound,
+                    idf_fn=lambda df, n: 1.0)
+    try:
+        docs, rows = corpus
+        got = [(r["doc_id"], r["score"])
+               for r in built.search("spark", 5, scorer="tf_only",
+                                     use_cache=False).collect()]
+        # brute force: tf of 'spark' per doc, top-5 (score desc, id asc)
+        tfs = [(d, float(t.split().count("spark")))
+               for d, t in rows if "spark" in t.split()]
+        want = sorted(tfs, key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got == want
+    finally:
+        SCORERS.pop("tf_only", None)
