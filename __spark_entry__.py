@@ -834,6 +834,36 @@ def q_ft_bigram_prefix(spark, sf):
             .select("doc_id"))
 
 
+# -- pattern tokenizer (TokenPattern analogue) ------------------------------
+
+_PATTERN_CACHE: dict = {}
+
+
+def _pattern_index(spark: SparkSession, sf_dir: str):
+    """Index over documents tokenized by REGEX EXTRACTION
+    (mode pattern:[a-z]{3,} — alpha runs of ≥3 chars become tokens;
+    shorter words never enter the token stream)."""
+    def _build(spark, sf_dir, path):
+        from groonga_spark.build import build_index
+        from groonga_spark.search import FulltextIndex
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        build_index(spark, docs, path, mode="pattern:[a-z]{3,}")
+        return FulltextIndex(spark, path)
+
+    return _derived_index(spark, sf_dir, _PATTERN_CACHE, "gs_pat_", _build)
+
+
+def q_ft_pattern(spark, sf):
+    """Phrase over a PATTERN-tokenized index [G: lib/tokenizers.c ·
+    pattern tokenizer]: with pattern:[a-z]{3,}, short words vanish from
+    the token STREAM (not stop-filtered — never tokens), so
+    '"spark merge"' also matches docs where a short word sits between
+    them — provably pattern-driven positions, not delimit."""
+    return _pattern_index(spark, sf).match_docs('"spark merge"') \
+        .select("doc_id")
+
+
 # -- token filters (stop_word + stem-lite) ----------------------------------
 
 FILTERED_MODE = "delimit|stop:the,a,of,and,to,in,is,it|stem"
@@ -1159,6 +1189,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_near": q_ft_near,
         "ft_topk_bm25": q_ft_topk_bm25,
         "ft_similar": q_ft_similar,
+        "ft_pattern": q_ft_pattern,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
         "select_query_filter": q_select_query_filter,
@@ -1634,6 +1665,18 @@ def oracle_sql() -> dict[str, str]:
              AND b.term = 'merge' AND abs(a.pos - b.pos) <= 3""",
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
         "ft_similar": _similar_sql(_SIMILAR_INPUT, 30, 15),
+        # pattern:[a-z]{3,} ⇒ token stream = words of len ≥ 3 (the corpus
+        # is pure lowercase alpha), so the phrase check runs over the
+        # length-filtered word list
+        "ft_pattern": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          x -> len(x) >= 3) AS v
+                       FROM documents),
+            pairs AS (SELECT doc_id, unnest(range(1, len(v))) AS i, v
+                      FROM w WHERE len(v) >= 2)
+            SELECT DISTINCT doc_id FROM pairs
+            WHERE v[i] = 'spark' AND v[i+1] = 'merge'""",
         "ft_multifield": _bm25f_sql(),
         "adjuster": _adjuster_sql(),
         "slices": """

@@ -38,7 +38,18 @@ def _mode_of(tokenizer: str) -> str:
 
         m = re.search(r'"n"\s*,\s*(\d+)', t)
         return f"ngram:{m.group(1)}" if m else "bigram"
-    if t in ("bigram", "trigram", "delimit") or t.startswith("ngram:"):
+    if t.startswith(("TokenPattern", "TokenRegexp")):
+        # TokenPattern("(regex)") → pattern-extraction tokenizer;
+        # TokenRegexp("(regex)") → regex-DELIMITED tokenizer (split)
+        import re
+
+        m = re.search(r'"((?:[^"\\]|\\.)*)"', t)
+        if not m:
+            raise ValueError(f"{t!r} needs a quoted regex argument")
+        base = "pattern" if t.startswith("TokenPattern") else "split"
+        return f"{base}:{m.group(1)}"
+    if (t in ("bigram", "trigram", "delimit")
+            or t.startswith(("ngram:", "pattern:", "split:"))):
         return t  # already a mode string
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 

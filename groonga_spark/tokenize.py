@@ -143,7 +143,29 @@ def parse_mode(mode: str) -> tuple[str, int, tuple[tuple[str, object], ...]]:
     string once per batch for offsets and once for filters."""
     parts = mode.split("|")
     base = parts[0]
-    if base == "bigram":
+    if base.startswith(("pattern:", "split:")):
+        # regex bases [G: lib/tokenizers.c · pattern tokenizer /
+        # TokenDelimit with a custom pattern]: the regex itself may
+        # contain '|', so filters are parsed GREEDILY FROM THE RIGHT
+        # (trailing parts that look like filters) and everything before
+        # them re-joins into the regex. A regex whose literal tail is
+        # '|stem' or '|stop:…' must spell it '(?:stem)' etc.
+        n_f = 0
+        for p in reversed(parts[1:]):
+            if p == "stem" or p.startswith("stop:"):
+                n_f += 1
+            else:
+                break
+        pat_parts = parts[: len(parts) - n_f]
+        filt_parts = parts[len(parts) - n_f :]
+        full = "|".join(pat_parts)
+        kind, _, rx = full.partition(":")
+        import re as _re
+
+        _re.compile(rx)  # fail fast on a bad pattern
+        n: object = rx
+        parts = [base, *filt_parts]
+    elif base == "bigram":
         kind, n = "ngram", 2
     elif base == "trigram":
         kind, n = "ngram", 3
@@ -201,6 +223,41 @@ def _token_offsets(
     n = len(cp)
     doc_ends = np.cumsum(np.fromiter((len(t) for t in texts), np.int64, len(texts)))
 
+    if kind in ("pattern", "split"):
+        # regex tokenizers: spans come from re (codepoint offsets ==
+        # the cp-array/joined-string indexing the shared tail uses).
+        # pattern: tokens = the regex's non-overlapping MATCHES
+        # split:   regex matches are DELIMITERS; tokens = the gaps.
+        # Per-document finditer (regex is not vectorizable) — these
+        # modes trade the numpy fast path for expressiveness, which the
+        # reference's pattern tokenizers do too.
+        import re as _re
+
+        rx = _re.compile(ngram_n)  # ngram_n carries the regex for these
+        s_l: list[int] = []
+        e_l: list[int] = []
+        off = 0
+        for t in texts:
+            if kind == "pattern":
+                for m in rx.finditer(t):
+                    if m.end() > m.start():
+                        s_l.append(off + m.start())
+                        e_l.append(off + m.end())
+            else:
+                prev = 0
+                for m in rx.finditer(t):
+                    if m.start() > prev:
+                        s_l.append(off + prev)
+                        e_l.append(off + m.start())
+                    prev = max(prev, m.end())
+                if len(t) > prev:
+                    s_l.append(off + prev)
+                    e_l.append(off + len(t))
+            off += len(t)
+        tok_start = np.asarray(s_l, np.int64)
+        tok_end = np.asarray(e_l, np.int64)
+        return _offsets_tail(joined, cp, doc_ends, tok_start, tok_end)
+
     cls = _classify(cp)
     if kind == "delimit":
         cls = np.where(cls == SPACE, SPACE, ALPHA).astype(np.uint8)
@@ -239,7 +296,12 @@ def _token_offsets(
     order = np.argsort(tok_start, kind="stable")
     tok_start = tok_start[order]
     tok_end = tok_end[order]
+    return _offsets_tail(joined, cp, doc_ends, tok_start, tok_end)
 
+
+def _offsets_tail(joined, cp, doc_ends, tok_start, tok_end):
+    """Shared tail of _token_offsets: start-ordered token spans →
+    (joined, cp, row_idx, tok_start, tok_end, pos)."""
     if len(tok_start) == 0:
         return None
 

@@ -1516,3 +1516,49 @@ def test_register_custom_scorer(spark, corpus, built):
         assert got == want
     finally:
         SCORERS.pop("tf_only", None)
+
+
+def test_pattern_tokenized_index_rank_identity(spark, corpus, tmp_path):
+    """End-to-end index + search under the pattern-extraction tokenizer
+    (mode pattern:[a-z]{3,}): rank/score identity vs the oracle running
+    the SAME mode, and phrase adjacency follows the pattern token
+    stream (short words never enter it)."""
+    docs, rows = corpus
+    path = str(tmp_path / "idx_pattern")
+    mode = "pattern:[a-z]{3,}"
+    build_index(spark, docs, path, mode=mode, segment_size=200)
+    idx = FulltextIndex(spark, path)
+    assert idx.meta["tokenizer_mode"] == mode
+    o = OracleIndex(rows, mode=mode)
+
+    for q in ["spark", "spark merge", '"spark merge"', "table -scan"]:
+        got = [(r["doc_id"], r["score"])
+               for r in idx.search(q, 10, use_cache=False).collect()]
+        want = o.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-6, q
+
+    # the 1-char/2-char words never became terms
+    lex_terms = {r["term"] for r in idx.lexicon.collect()}
+    assert "a" not in lex_terms
+    assert all(len(t) >= 3 for t in lex_terms)
+
+
+def test_split_tokenized_index(spark, tmp_path):
+    """Regex-DELIMITED tokenizer (split:<regex>): tokens are the gaps
+    between delimiter matches — CSV-ish fields, phrases included."""
+    rows = [(0, "alpha,beta;;gamma delta"), (1, "beta,alpha"),
+            (2, "gamma delta,alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_split")
+    build_index(spark, docs, path, mode="split:[,;]+", segment_size=10)
+    idx = FulltextIndex(spark, path)
+    assert {r["term"] for r in idx.lexicon.collect()} == {
+        "alpha", "beta", "gamma delta"}
+    assert {r["doc_id"] for r in idx.match_docs("alpha").collect()} == \
+        {0, 1, 2}
+    # a multi-word FIELD is one token: quoted phrase query tokenizes to
+    # that single token under the same mode
+    assert {r["doc_id"]
+            for r in idx.match_docs('"gamma delta"').collect()} == {0, 2}
