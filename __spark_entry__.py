@@ -864,6 +864,41 @@ def q_ft_pattern(spark, sf):
         .select("doc_id")
 
 
+# -- WITH_WEIGHT weighted-vector index ---------------------------------------
+
+_WEIGHT_CACHE: dict = {}
+
+
+def _weighted_index(spark: SparkSession, sf_dir: str):
+    """Weighted tag vectors derived deterministically from doc ids
+    (both engines rebuild them from doc_id arithmetic): doc d carries
+    tags tag{(d·3+k) mod 7} with weight (d+k) mod 4 + 1, k ∈ 0..2."""
+    def _build(spark, sf_dir, path):
+        from groonga_spark.build import build_weighted_index
+        from groonga_spark.search import FulltextIndex
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 2), k -> named_struct("
+                "'value', concat('tag', (doc_id * 3 + k) % 7), "
+                "'weight', cast((doc_id + k) % 4 + 1 AS int)))"
+            ).alias("tags"),
+        )
+        build_weighted_index(spark, docs, path)
+        return FulltextIndex(spark, path)
+
+    return _derived_index(spark, sf_dir, _WEIGHT_CACHE, "gs_wt_", _build)
+
+
+def q_ft_weight(spark, sf):
+    """WITH_WEIGHT weighted-vector index [G: lib/ii.c · WITH_WEIGHT]:
+    tf = element weight by construction; the tf scorer returns the
+    reference's weighted-match _score = Σ matched weights."""
+    hits = _weighted_index(spark, sf).search("tag3", k=10, scorer="tf")
+    return hits.select("doc_id", F.col("score").cast("double").alias("score"))
+
+
 # -- token filters (stop_word + stem-lite) ----------------------------------
 
 FILTERED_MODE = "delimit|stop:the,a,of,and,to,in,is,it|stem"
@@ -1190,6 +1225,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_topk_bm25": q_ft_topk_bm25,
         "ft_similar": q_ft_similar,
         "ft_pattern": q_ft_pattern,
+        "ft_weight": q_ft_weight,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
         "select_query_filter": q_select_query_filter,
@@ -1677,6 +1713,19 @@ def oracle_sql() -> dict[str, str]:
                       FROM w WHERE len(v) >= 2)
             SELECT DISTINCT doc_id FROM pairs
             WHERE v[i] = 'spark' AND v[i+1] = 'merge'""",
+        # weighted tags derived from doc_id arithmetic (see
+        # _weighted_index); _score = Σ weights of elements == 'tag3'
+        "ft_weight": """
+            WITH t AS (SELECT doc_id, unnest([0, 1, 2]) AS k
+                       FROM documents),
+            tags AS (SELECT doc_id,
+                            'tag' || ((doc_id * 3 + k) % 7) AS tag,
+                            (doc_id + k) % 4 + 1 AS w
+                     FROM t),
+            m AS (SELECT doc_id, sum(w) AS sw FROM tags
+                  WHERE tag = 'tag3' GROUP BY doc_id
+                  ORDER BY sw DESC, doc_id LIMIT 10)
+            SELECT doc_id, sw::DOUBLE AS score FROM m""",
         "ft_multifield": _bm25f_sql(),
         "adjuster": _adjuster_sql(),
         "slices": """

@@ -1044,3 +1044,58 @@ def build_index(
     return finalize_index(
         spark, store, mode, segment_size=segment_size, shard_size=shard_size
     )
+
+
+#: element separator for weighted-vector indexes — a control char no
+#: normalized tag can contain (normalize.py strips nothing but keeps
+#: controls; tags with \x1f are rejected at build)
+WEIGHT_SEP = "\x1f"
+
+
+def build_weighted_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    tags_col: str = "tags",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> dict:
+    """WITH_WEIGHT weighted-vector index [G: lib/ii.c · WITH_WEIGHT;
+    column_create COLUMN_VECTOR|WITH_WEIGHT].
+
+    ``docs[tags_col]`` is ``array<struct<value string, weight int>>``
+    (weighted tags). Each element enters the postings with tf = its
+    weight — BY CONSTRUCTION: the element repeats ``weight`` times in a
+    \\x1f-joined synthetic text indexed under the regex-delimited
+    ``split:`` tokenizer, so EVERY invariant (dl = Σtf, fingerprints,
+    resume, merge determinism) holds with zero new code paths, and
+    multi-word tag values stay single tokens. weight 0 drops the
+    element (reference semantics). Query with the ``tf`` scorer for the
+    reference's weighted-match score (_score = Σ matched weights):
+
+        FulltextIndex(spark, path).search('"my tag"', scorer="tf")
+
+    Designed for TAG vectors (tens of elements, small integer weights);
+    the repetition encoding makes token volume O(Σ weights) per doc —
+    use a scaled-down weight unit for magnitude-style weights.
+    """
+    expanded = F.flatten(
+        F.transform(
+            F.col(tags_col),
+            lambda e: F.array_repeat(e["value"], e["weight"]),
+        )
+    )
+    text = F.array_join(expanded, WEIGHT_SEP)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), text.alias("text")
+    )
+    bad = docs.filter(
+        F.exists(F.col(tags_col),
+                 lambda e: e["value"].contains(WEIGHT_SEP))
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "tag values must not contain the \\x1f element separator"
+        )
+    return build_index(spark, out, path,
+                       mode=f"split:{WEIGHT_SEP}+", **kwargs)

@@ -147,5 +147,17 @@ def get_scorer(name: str | None) -> Scorer:
     return sc
 
 
+def _tf_score(tf, dl, idf_el, avgdl, k1, b) -> np.ndarray:
+    """The reference's DEFAULT ``_score`` is tf-based [G: lib/expr.c ·
+    GRN_OP_MATCH score accumulation]; on a WITH_WEIGHT weighted-vector
+    index tf IS the element weight, so this scorer returns Σ weights."""
+    return np.asarray(tf).astype(np.float64)
+
+
+def _tf_bound(max_tf, min_dl, idf_el, avgdl, k1, b) -> np.ndarray:
+    return np.asarray(max_tf, np.float64)
+
+
 register_scorer("bm25", _bm25_score, block_upper_bounds)
 register_scorer("tf_idf", _tf_idf_score, _tf_idf_bound)
+register_scorer("tf", _tf_score, _tf_bound, idf_fn=lambda df, n_docs: 1.0)

@@ -305,3 +305,55 @@ def test_legacy_flat_corpus_migrates_to_epoch_partition(spark, docs,
     path2 = str(tmp_path / "legacy_batch")
     build_index(spark, docs, path2, mode="delimit", segment_size=200)
     assert _postings_rows(spark, idx) == _postings_rows(spark, path2)
+
+
+def test_weighted_vector_index_with_weight(spark, tmp_path):
+    """WITH_WEIGHT weighted-vector index [G: lib/ii.c · WITH_WEIGHT]:
+    array<struct<value, weight>> tags index with tf = weight; the tf
+    scorer returns _score = Σ matched weights (reference weighted-match
+    semantics), multi-word tag values stay single tokens, and weight 0
+    drops the element."""
+    from groonga_spark.build import build_weighted_index
+
+    rows = [
+        (1, [("alpha", 10), ("machine learning", 1)]),
+        (2, [("alpha", 2), ("beta", 5)]),
+        (3, [("beta", 1), ("machine learning", 7)]),
+        (4, [("alpha", 0)]),                      # weight 0 → no element
+        (5, [("alpha", 3), ("alpha", 2)]),        # dup tag: weights add
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tags array<struct<value string, weight int>>"
+    )
+    path = str(tmp_path / "idx_weighted")
+    build_weighted_index(spark, docs, path, segment_size=100)
+    idx = FulltextIndex(spark, path)
+
+    def hits(q):
+        return [(r["doc_id"], r["score"]) for r in
+                idx.search(q, 10, scorer="tf", use_cache=False).collect()]
+
+    # brute-force oracle over the raw tag lists
+    def want(tag):
+        sc = {d: sum(w for v, w in tags if v == tag and w > 0)
+              for d, tags in rows}
+        sc = {d: float(s) for d, s in sc.items() if s > 0}
+        return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    assert hits("alpha") == want("alpha")          # 10, 5, 2 — not doc 4
+    assert hits('"machine learning"') == want("machine learning")
+    assert {r["doc_id"] for r in idx.match_docs("beta").collect()} == {2, 3}
+    # default BM25 also ranks by weight-as-tf (same index, no re-build)
+    bm = [d for d, _ in
+          ((r["doc_id"], r["score"]) for r in
+           idx.search("alpha", 10, use_cache=False).collect())]
+    assert bm == [1, 5, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="separator"):
+        bad = spark.createDataFrame(
+            [(1, [("x\x1fy", 1)])],
+            "doc_id long, tags array<struct<value string, weight int>>",
+        )
+        build_weighted_index(spark, bad, str(tmp_path / "idx_bad"))
