@@ -1079,23 +1079,27 @@ def build_weighted_index(
     the repetition encoding makes token volume O(Σ weights) per doc —
     use a scaled-down weight unit for magnitude-style weights.
     """
+    # validation rides the build's OWN scan (no separate job, and a
+    # non-deterministic source can't pass a pre-check then feed bad
+    # values into the real pass): a value containing the separator
+    # raises from inside the expression
+    checked_value = (
+        lambda e: F.when(
+            e["value"].contains(WEIGHT_SEP),
+            F.raise_error(F.lit(
+                "tag values must not contain the \\x1f element separator"
+            )).cast("string"),
+        ).otherwise(e["value"])
+    )
     expanded = F.flatten(
         F.transform(
             F.col(tags_col),
-            lambda e: F.array_repeat(e["value"], e["weight"]),
+            lambda e: F.array_repeat(checked_value(e), e["weight"]),
         )
     )
     text = F.array_join(expanded, WEIGHT_SEP)
     out = docs.select(
         F.col(id_col).alias("doc_id"), text.alias("text")
     )
-    bad = docs.filter(
-        F.exists(F.col(tags_col),
-                 lambda e: e["value"].contains(WEIGHT_SEP))
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            "tag values must not contain the \\x1f element separator"
-        )
     return build_index(spark, out, path,
                        mode=f"split:{WEIGHT_SEP}+", **kwargs)

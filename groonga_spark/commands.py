@@ -302,6 +302,11 @@ def _cmd_column_create(ctx: CommandContext, table: str, name: str,
         ctx.ddl.setdefault(table, {}).setdefault("columns", {})[name] = meta
         return True
 
+    if name in ctx.tables[table].columns:
+        # validate BEFORE touching ctx.references: a failed call must
+        # not leave a phantom reference that hijacks the existing
+        # same-named plain column's dot-path resolution
+        raise ValueError(f"column {name!r} already exists on {table!r}")
     if type in ctx.tables:
         # reference column: physically the other table's key type
         ref_key = ctx.id_cols.get(type, "doc_id")
@@ -313,8 +318,6 @@ def _cmd_column_create(ctx: CommandContext, table: str, name: str,
         col_type = _grn_type(type or "ShortText")
     if "COLUMN_VECTOR" in fl:
         col_type = f"array<{col_type}>"
-    if name in ctx.tables[table].columns:
-        raise ValueError(f"column {name!r} already exists on {table!r}")
     ctx.tables[table] = ctx.tables[table].withColumn(
         name, F.lit(None).cast(col_type)
     )
@@ -358,7 +361,10 @@ def _cmd_table_list(ctx: CommandContext):
         }
         d = ctx.ddl.get(name)
         if d:  # DDL-created tables also report their declaration
-            row["flags"] = "|".join(d["flags"])
+            # .get: a register()-ed table gains a ddl record holding
+            # only "columns" when column_create runs against it
+            if d.get("flags"):
+                row["flags"] = "|".join(d["flags"])
             if d.get("key_type"):
                 row["domain"] = d["key_type"]
             if d.get("default_tokenizer"):

@@ -111,13 +111,17 @@ def _bm25_score(tf, dl, idf_el, avgdl, k1, b) -> np.ndarray:
 
 def _tf_idf_score(tf, dl, idf_el, avgdl, k1, b) -> np.ndarray:
     """[G: lib/scorer.c · scorer_tf_idf] — tf × idf; dl-independent, so
-    its block bound needs no dl term and no float headroom (float
-    multiplication is monotone for positive operands)."""
+    its block bound needs no dl term."""
     return idf_el * np.asarray(tf).astype(np.float64)
 
 
 def _tf_idf_bound(max_tf, min_dl, idf_el, avgdl, k1, b) -> np.ndarray:
-    return idf_el * np.asarray(max_tf, np.float64)
+    # ×(1+1e-9): per-block the product is a monotone-exact bound, but
+    # the interval pruner SUMS covering-block bounds via diff/cumsum
+    # while a doc's exact score sums per-term products directly — the
+    # two float orders can differ by ulps, so the bound needs the same
+    # strictness headroom BM25 carries (≫ the ~1e-12 accumulated error)
+    return idf_el * np.asarray(max_tf, np.float64) * (1.0 + 1e-9)
 
 
 SCORERS: dict[str, Scorer] = {}
@@ -155,6 +159,9 @@ def _tf_score(tf, dl, idf_el, avgdl, k1, b) -> np.ndarray:
 
 
 def _tf_bound(max_tf, min_dl, idf_el, avgdl, k1, b) -> np.ndarray:
+    # no headroom needed: tf values are integers, and integer-valued
+    # float64 adds/subtracts (incl. the interval pruner's diff/cumsum)
+    # are EXACT below 2^53 — the bound can never round under a score
     return np.asarray(max_tf, np.float64)
 
 

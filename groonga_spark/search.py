@@ -556,7 +556,7 @@ class FulltextIndex:
                 )
                 os.replace(final + ".tmp", final)
                 n = 1
-            else:
+            elif staged:
                 # adopt the WHOLE stage in one atomic rename: a per-file
                 # move loop could crash midway and leave a partial delete
                 # permanently applied with no marker or retry path, and
@@ -565,8 +565,12 @@ class FulltextIndex:
                 # (pyarrow dataset, the recursive Spark read, the footer
                 # estimate) recurses into t-* directories, and the
                 # dot-prefixed stage dir is invisible until renamed.
+                # (`elif staged`: a zero-row delete must NOT adopt its
+                # schema-only parts as a junk live dir.)
                 os.replace(stage, os.path.join(d, f"t-{uuid.uuid4().hex}"))
                 n = len(staged)
+            else:
+                n = 0
             shutil.rmtree(stage, ignore_errors=True)
             if n == 0:  # empty result set: nothing tombstoned
                 self._tombstones = None
@@ -702,7 +706,13 @@ class FulltextIndex:
     def _cache_generation(self) -> tuple:
         gen_meta = os.path.getmtime(self.store.meta_path)
         d = self.store.p("tombstones")
-        n_tomb = len(os.listdir(d)) if os.path.isdir(d) else 0
+        # count only LIVE entries: an in-flight `.stage-*` dir must not
+        # pre-count — a handle that computed its generation during the
+        # staging window would otherwise see the SAME count after the
+        # t-<uuid> adoption rename and keep serving deleted docs from
+        # its result cache
+        n_tomb = (len([e for e in os.listdir(d) if not e.startswith(".")])
+                  if os.path.isdir(d) else 0)
         return (gen_meta, n_tomb)
 
     def _result_cache_get(self, key: tuple) -> pd.DataFrame | None:

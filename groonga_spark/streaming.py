@@ -117,9 +117,14 @@ def _migrate_legacy_corpus(corpus_path: str) -> None:
         return
     flat = [fn for fn in os.listdir(corpus_path)
             if fn.endswith(".parquet") and not fn.startswith((".", "_"))]
-    if not flat:
-        return
     stage = os.path.join(corpus_path, ".legacy-epoch-migrate")
+    # resume a PARTIAL earlier migration too: a crash between staging
+    # and the rename leaves zero flat files but a populated stage dir —
+    # bailing on `not flat` alone would strand those rows invisibly
+    # (dot-dirs are skipped by every reader) forever
+    staged_leftover = os.path.isdir(stage) and os.listdir(stage)
+    if not flat and not staged_leftover:
+        return
     os.makedirs(stage, exist_ok=True)
     for fn in flat:
         os.replace(os.path.join(corpus_path, fn), os.path.join(stage, fn))

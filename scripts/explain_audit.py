@@ -173,7 +173,22 @@ def main() -> None:
               ["partial_sum", "hashpartitioning(term",
                "ReadSchema: struct<term:string,df:bigint,cf:bigint>"])
 
-    out = ["# PLANS — physical-plan audit (round 4)", "",
+    # 12. hot-prefix prod planning (round 5): past PREFIX_DRIVER_SCAN_MAX
+    # the tid range comes from ONE Spark aggregation whose term-range
+    # predicate is pushed to the lexicon scan (row-group pruning; Iceberg
+    # metadata pruning in prod) with map-side partial min/max/count/sum
+    # and the projection pruned to (term, term_id, df)
+    pfx_agg = (
+        idx.lexicon
+        .filter((F.col("term") >= "sp") & (F.col("term") < "sq"))
+        .agg(F.min("term_id").alias("lo"), F.max("term_id").alias("hi"),
+             F.count(F.lit(1)).alias("n"), F.sum("df").alias("sum_df"))
+    )
+    audit("prefix_lexicon_aggregate", pfx_agg,
+          ["GreaterThanOrEqual(term,sp)", "LessThan(term,sq)",
+           "partial_min", "Scan parquet"])
+
+    out = ["# PLANS — physical-plan audit (round 5)", "",
            f"Input: {SF}. Each section lists the REQUIRED plan properties",
            "and the full `.explain('formatted')` output. Regenerate with",
            "`python scripts/explain_audit.py`.", ""]

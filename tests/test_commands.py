@@ -380,3 +380,26 @@ def test_ddl_multifield_index_and_errors(spark, tmp_path):
                 type="NotAType")
     with _pytest.raises(ValueError, match="unknown table"):
         execute(ctx, "truncate", target_name="Nope")
+
+
+def test_column_create_on_registered_table_and_failed_ref(spark):
+    """column_create against a register()-ed (non-DDL) table must not
+    break table_list, and a FAILED column_create must not leave a
+    phantom reference that hijacks the existing same-named column."""
+    import pytest as _pytest
+
+    ctx = CommandContext(spark)
+    docs = spark.createDataFrame([(1, "x", "m1")],
+                                 "doc_id long, text string, meta string")
+    ctx.register("Docs", docs)
+    execute(ctx, "table_create", name="Meta", key_type="ShortText")
+    execute(ctx, "column_create", table="Docs", name="extra", type="Text")
+    tl = {r["name"]: r for r in execute(ctx, "table_list")}  # no KeyError
+    assert "Docs" in tl and "flags" not in tl["Docs"]
+
+    with _pytest.raises(ValueError, match="already exists"):
+        execute(ctx, "column_create", table="Docs", name="meta",
+                type="Meta")
+    # the failed call must not have registered Docs.meta as a reference
+    assert "meta" not in ctx.references.get("Docs", {})
+    assert "meta" not in ctx.resolve_references("Docs")

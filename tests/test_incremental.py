@@ -351,9 +351,37 @@ def test_weighted_vector_index_with_weight(spark, tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="separator"):
+    # the separator guard raises from INSIDE the build's own scan (no
+    # separate validation job) — surfaces as a Spark execution error
+    with _pytest.raises(Exception, match="separator"):
         bad = spark.createDataFrame(
             [(1, [("x\x1fy", 1)])],
             "doc_id long, tags array<struct<value string, weight int>>",
         )
         build_weighted_index(spark, bad, str(tmp_path / "idx_bad"))
+
+
+def test_legacy_migration_resumes_after_crash_mid_stage(spark, docs,
+                                                        tmp_path):
+    """A crash AFTER staging all legacy files but BEFORE the epoch=-1
+    rename leaves zero flat files + a populated dot-stage dir; the next
+    batch must complete the migration instead of stranding the rows."""
+    from groonga_spark.streaming import _append_epoch
+
+    corpus = str(tmp_path / "crashmig_corpus")
+    idx = str(tmp_path / "crashmig_idx")
+    old = docs.filter(F.col("doc_id") < 250)
+    old.write.parquet(corpus)
+    # simulate the crashed first attempt: files staged, rename missing
+    stage = os.path.join(corpus, ".legacy-epoch-migrate")
+    os.makedirs(stage)
+    for fn in list(os.listdir(corpus)):
+        if fn.endswith(".parquet"):
+            os.replace(os.path.join(corpus, fn), os.path.join(stage, fn))
+    assert not any(f.endswith(".parquet") for f in os.listdir(corpus))
+
+    _append_epoch(docs.filter(F.col("doc_id") >= 250), 0, corpus, idx,
+                  segment_size=200)
+    got = spark.read.parquet(corpus)
+    assert got.count() == docs.count()
+    assert not os.path.isdir(stage)

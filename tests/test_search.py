@@ -1562,3 +1562,38 @@ def test_split_tokenized_index(spark, tmp_path):
     # that single token under the same mode
     assert {r["doc_id"]
             for r in idx.match_docs('"gamma delta"').collect()} == {0, 2}
+
+
+def test_zero_row_dataframe_delete_leaves_no_tombstones(spark, corpus,
+                                                        tmp_path):
+    """A DataFrame delete matching ZERO rows must not adopt its
+    schema-only staged parts as a live t-* entry (junk files + spurious
+    cache-generation bumps)."""
+    docs, _ = corpus
+    path = str(tmp_path / "tomb_zero_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+    gen0 = idx._cache_generation()
+    idx.TOMBSTONE_DRIVER_MAX = 0  # even on the adopt-as-is branch
+    idx.delete_docs(spark.createDataFrame([(10**12,)], "doc_id long")
+                    .filter("doc_id < 0"))  # empty set
+    d = IndexStore(path).p("tombstones")
+    assert not os.path.isdir(d) or not os.listdir(d)
+    assert idx._cache_generation() == gen0
+    assert idx._tombstone_rows_estimate() == 0
+
+
+def test_cache_generation_ignores_staging_dirs(spark, corpus, tmp_path):
+    """The generation's tombstone count must see only LIVE entries: an
+    in-flight dot-stage dir is invisible, so the later t-<uuid>
+    adoption rename still bumps the count by one (a handle that read
+    the generation mid-stage can't keep serving deleted docs)."""
+    docs, _ = corpus
+    path = str(tmp_path / "tomb_gen_idx")
+    build_index(spark, docs, path, mode="delimit", segment_size=200)
+    idx = FulltextIndex(spark, path)
+    d = IndexStore(path).p("tombstones")
+    os.makedirs(os.path.join(d, ".stage-abc"))
+    gen_staging = idx._cache_generation()
+    os.replace(os.path.join(d, ".stage-abc"), os.path.join(d, "t-abc"))
+    assert idx._cache_generation() != gen_staging
