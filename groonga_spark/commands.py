@@ -325,6 +325,56 @@ def _cmd_column_create(ctx: CommandContext, table: str, name: str,
     return True
 
 
+def _cmd_table_remove(ctx: CommandContext, name: str):
+    """[G: lib/proc.c · proc_table_remove]: drop the table, its index,
+    its DDL record, and every reference declaration pointing AT it (the
+    reference's dependency removal)."""
+    if name not in ctx.tables:
+        raise ValueError(f"unknown table {name!r}")
+    ctx.tables.pop(name)
+    ctx.indexes.pop(name, None)
+    ctx.id_cols.pop(name, None)
+    ctx.ddl.pop(name, None)
+    ctx.references.pop(name, None)
+    for refs in ctx.references.values():
+        for col in [c for c, (t, _) in refs.items() if t == name]:
+            refs.pop(col)
+    return True
+
+
+def _cmd_column_remove(ctx: CommandContext, table: str, name: str):
+    """[G: lib/proc.c · proc_column_remove]: drop a column; an index
+    column declared via COLUMN_INDEX drops the built index instead."""
+    if table not in ctx.tables:
+        raise ValueError(f"unknown table {table!r}")
+    ddl_cols = ctx.ddl.get(table, {}).get("columns", {})
+    meta = ddl_cols.get(name)
+    if meta is not None and "COLUMN_INDEX" in meta["flags"]:
+        ctx.indexes.pop(meta["type"], None)
+        ddl_cols.pop(name)
+        return True
+    if name not in ctx.tables[table].columns:
+        raise ValueError(f"unknown column {table}.{name}")
+    if name == ctx.id_cols.get(table):
+        raise ValueError(f"cannot remove the key column {name!r}")
+    ctx.tables[table] = ctx.tables[table].drop(name)
+    ddl_cols.pop(name, None)
+    ctx.references.get(table, {}).pop(name, None)
+    return True
+
+
+def _cmd_object_exist(ctx: CommandContext, name: str):
+    """[G: lib/proc.c · proc_object_exist]: table, table.column, or a
+    declared index column."""
+    if "." in name:
+        t, c = name.split(".", 1)
+        if t not in ctx.tables:
+            return False
+        return (c in ctx.tables[t].columns
+                or c in ctx.ddl.get(t, {}).get("columns", {}))
+    return name in ctx.tables
+
+
 def _cmd_truncate(ctx: CommandContext, target_name: str):
     """The reference's truncate [G: lib/proc.c · proc_truncate]: drop
     every record, keep the schema. A fulltext index OVER the truncated
@@ -609,6 +659,9 @@ def _cmd_cache_limit(ctx: CommandContext, max: int | None = None):  # noqa: A002
 _COMMANDS = {
     "table_create": _cmd_table_create,
     "column_create": _cmd_column_create,
+    "table_remove": _cmd_table_remove,
+    "column_remove": _cmd_column_remove,
+    "object_exist": _cmd_object_exist,
     "truncate": _cmd_truncate,
     "status": _cmd_status,
     "table_list": _cmd_table_list,

@@ -34,6 +34,91 @@ _MATCH_TMPL = {
     "@": "contains({col}, {val})",
 }
 
+#: POSIX bracket classes (Onigmo [[:name:]]) → Java regex equivalents
+_POSIX_TO_JAVA = {
+    "alpha": "\\p{Alpha}", "alnum": "\\p{Alnum}", "digit": "\\p{Digit}",
+    "xdigit": "\\p{XDigit}", "upper": "\\p{Upper}", "lower": "\\p{Lower}",
+    "space": "\\s", "blank": "\\p{Blank}", "punct": "\\p{Punct}",
+    "cntrl": "\\p{Cntrl}", "graph": "\\p{Graph}", "print": "\\p{Print}",
+    "word": "\\w",
+}
+
+_INLINE_FLAGS = re.compile(r"\(\?([aidmux]*(?:-[aidmux]*)?)([:)])")
+
+
+def onigmo_to_java(pattern: str) -> str:
+    """Bridge the reference's Onigmo regex dialect [G: vendor/onigmo;
+    `@~` in script syntax] to java.util.regex (what Spark RLIKE runs).
+    The dialects mostly agree; the deltas that silently change meaning
+    are bridged:
+
+    - ``\\h``/``\\H`` are HEX-DIGIT classes in Onigmo but horizontal
+      whitespace in Java → ``[0-9a-fA-F]`` / ``[^0-9a-fA-F]``;
+    - POSIX brackets ``[[:alpha:]]`` (and ``[:^alpha:]``) → ``\\p{..}``;
+    - Ruby's inline ``m`` flag means DOTALL while Java's means
+      MULTILINE → ``(?m)``/``(?m:`` flip to ``s``; Ruby-only ``a d u``
+      flags drop;
+    - a literal ``]`` first in a class (legal in Onigmo) gets escaped.
+
+    Shared constructs pass through verbatim; Onigmo features with no
+    Java equivalent are left for Java's parser to reject loudly."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt == "h":
+                out.append("0-9a-fA-F" if in_class else "[0-9a-fA-F]")
+            elif nxt == "H" and not in_class:
+                out.append("[^0-9a-fA-F]")
+            else:
+                out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class and pattern.startswith("[:", i):
+            j = pattern.find(":]", i + 2)
+            if j != -1:
+                name = pattern[i + 2 : j]
+                neg = name.startswith("^")
+                repl = _POSIX_TO_JAVA.get(name[1:] if neg else name)
+                if repl is not None:
+                    if neg:
+                        repl = (repl.replace("\\p{", "\\P{")
+                                if repl.startswith("\\p{")
+                                else {"\\s": "\\S", "\\w": "\\W"}[repl])
+                    out.append(repl)
+                    i = j + 2
+                    continue
+        if c == "[" and not in_class:
+            in_class = True
+            out.append(c)
+            i += 1
+            if i < n and pattern[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pattern[i] == "]":
+                out.append("\\]")  # Onigmo: leading ] is literal
+                i += 1
+            continue
+        if c == "]" and in_class:
+            in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "(" and not in_class:
+            m = _INLINE_FLAGS.match(pattern, i)
+            if m:
+                flags = m.group(1).replace("m", "s")
+                flags = "".join(ch for ch in flags if ch in "isx-")
+                out.append("(?" + flags + m.group(2))
+                i = m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 #: a match op at the END of a code chunk — the value is the next string
 #: literal token (ops are ordered longest-first in the alternation)
 _MATCH_TAIL = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*)\s*(@\^|@\$|@~|@)\s*$")
@@ -142,7 +227,16 @@ def script_to_sql(expr: str) -> str:
         m = _MATCH_TAIL.search(text)
         if m and i + 1 < len(toks) and toks[i + 1][0] == "str":
             val = toks[i + 1][1]
-            if val.startswith('"'):
+            if m.group(2) == "@~":
+                # regex match: decode the script literal's quote/backslash
+                # escapes to the PATTERN the user wrote, bridge the
+                # Onigmo→Java dialect deltas, then re-encode for the SQL
+                # literal (Spark's parser decodes one backslash level)
+                pat = re.sub(r"\\([\\'\"])", r"\1", val[1:-1])
+                pat = onigmo_to_java(pat)
+                val = "'" + pat.replace("\\", "\\\\").replace("'", "\\'") \
+                    + "'"
+            elif val.startswith('"'):
                 val = "'" + val[1:-1].replace("'", "\\'") + "'"
             parts.append(("code", text[: m.start()]))
             parts.append(

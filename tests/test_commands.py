@@ -403,3 +403,43 @@ def test_column_create_on_registered_table_and_failed_ref(spark):
     # the failed call must not have registered Docs.meta as a reference
     assert "meta" not in ctx.references.get("Docs", {})
     assert "meta" not in ctx.resolve_references("Docs")
+
+
+def test_ddl_remove_and_object_exist(spark, tmp_path):
+    """table_remove / column_remove / object_exist [G: lib/proc.c]:
+    removal drops dependent objects (index, reference declarations);
+    object_exist resolves tables, columns, and declared index cols."""
+    import pytest as _pytest
+
+    ctx = CommandContext(spark, index_root=str(tmp_path / "rm_idx"))
+    execute(ctx, "table_create", name="Tags", key_type="ShortText")
+    execute(ctx, "table_create", name="D", flags="TABLE_NO_KEY")
+    execute(ctx, "column_create", table="D", name="text", type="Text")
+    execute(ctx, "column_create", table="D", name="tag", type="Tags")
+    execute(ctx, "load", table="D",
+            values=[{"_id": 1, "text": "spark fast"}])
+    execute(ctx, "table_create", name="Lex", key_type="ShortText",
+            default_tokenizer="TokenDelimit")
+    execute(ctx, "column_create", table="Lex", name="d_idx",
+            flags="COLUMN_INDEX", type="D", source="text")
+
+    assert execute(ctx, "object_exist", name="D") is True
+    assert execute(ctx, "object_exist", name="D.tag") is True
+    assert execute(ctx, "object_exist", name="Lex.d_idx") is True
+    assert execute(ctx, "object_exist", name="Nope") is False
+    assert execute(ctx, "object_exist", name="D.nope") is False
+
+    # removing the index COLUMN drops the index, keeps the table
+    execute(ctx, "column_remove", table="Lex", name="d_idx")
+    assert "D" not in ctx.indexes
+    assert execute(ctx, "object_exist", name="Lex.d_idx") is False
+
+    # removing the Tags table clears D's reference declaration to it
+    execute(ctx, "table_remove", name="Tags")
+    assert "tag" not in ctx.resolve_references("D")
+    with _pytest.raises(ValueError, match="key column"):
+        execute(ctx, "column_remove", table="D", name="_id")
+    execute(ctx, "column_remove", table="D", name="tag")
+    assert ctx.tables["D"].columns == ["_id", "text"]
+    execute(ctx, "table_remove", name="D")
+    assert execute(ctx, "object_exist", name="D") is False

@@ -625,3 +625,52 @@ def test_query_call_inside_string_literal_is_data(spark, docs, tmp_path):
         output_columns=["doc_id"], limit=-1,
     )
     assert [r["doc_id"] for r in res.hits.collect()] == [0]
+
+
+ONIGMO_CASES = [
+    (r"\h+", "[0-9a-fA-F]+"),
+    (r"\H", "[^0-9a-fA-F]"),
+    (r"[\h]+", "[0-9a-fA-F]+"),
+    ("[[:alpha:]]+", r"[\p{Alpha}]+"),
+    ("[[:^digit:]]", r"[\P{Digit}]"),
+    ("[[:word:][:space:]]", r"[\w\s]"),
+    ("(?m)a.b", "(?s)a.b"),          # Ruby m = DOTALL, Java m = MULTILINE
+    ("(?im:x)", "(?is:x)"),
+    ("(?i-m)x", "(?i-s)x"),
+    ("[]x]", r"[\]x]"),              # leading ] literal in Onigmo
+    ("(?<y>a)\\k<y>", "(?<y>a)\\k<y>"),  # shared syntax passes through
+    (r"a\d+\.b", r"a\d+\.b"),
+    ("(?=x)y", "(?=x)y"),
+]
+
+
+@pytest.mark.parametrize("src,want", ONIGMO_CASES,
+                         ids=[c[0] for c in ONIGMO_CASES])
+def test_onigmo_to_java(src, want):
+    """@~ patterns are Onigmo dialect [G: vendor/onigmo]; Spark RLIKE
+    runs java.util.regex — the silently-diverging constructs (\\h hex
+    class, POSIX brackets, Ruby's m-means-dotall) must be bridged."""
+    from groonga_spark.select import onigmo_to_java
+
+    assert onigmo_to_java(src) == want
+
+
+def test_regex_match_bridges_dialect_end_to_end(spark):
+    """`text @~ "..."` filters run the ONIGMO meaning on Spark: hex
+    class, POSIX brackets, and dotall-m all behave as the reference
+    user expects."""
+    from groonga_spark.select import select
+
+    df = spark.createDataFrame(
+        [(1, "deadbeef"), (2, "no hex here!"), (3, "a\nb"), (4, "AB12")],
+        "doc_id long, text string",
+    )
+
+    def ids(flt):
+        with select(df, filter=flt, limit=-1, sort_keys="doc_id") as r:
+            return [x["doc_id"] for x in r.hits.collect()]
+
+    assert ids('text @~ "^\\\\h+$"') == [1, 4]       # Onigmo \h = hex
+    assert ids('text @~ "[[:punct:]]"') == [2]       # POSIX bracket
+    assert ids('text @~ "^[[:alpha:][:space:]!]+$"') == [1, 2, 3]
+    assert ids('text @~ "(?m)^a.b$"') == [3]         # Ruby m = dotall
