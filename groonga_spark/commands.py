@@ -325,12 +325,37 @@ def _cmd_column_create(ctx: CommandContext, table: str, name: str,
     return True
 
 
+def _drop_dependent_indexes(ctx: CommandContext, table: str,
+                            column: str | None = None) -> None:
+    """Cascade removal the way grn_obj_remove does: drop every built
+    index whose COLUMN_INDEX declaration involves ``table`` (as the
+    LEXICON hosting the index column, or as the SOURCE table — when
+    ``column`` is given, only declarations sourcing that column), and
+    drop the now-dangling DDL entries with it."""
+    for lex, d in ctx.ddl.items():
+        cols = d.get("columns", {})
+        for cname in list(cols):
+            meta = cols[cname]
+            if "COLUMN_INDEX" not in meta["flags"]:
+                continue
+            srcs = [c.strip() for c in (meta.get("source") or "").split(",")]
+            hit = (lex == table and column is None) or (
+                meta["type"] == table
+                and (column is None or column in srcs)
+            )
+            if hit:
+                ctx.indexes.pop(meta["type"], None)
+                cols.pop(cname)
+
+
 def _cmd_table_remove(ctx: CommandContext, name: str):
-    """[G: lib/proc.c · proc_table_remove]: drop the table, its index,
-    its DDL record, and every reference declaration pointing AT it (the
-    reference's dependency removal)."""
+    """[G: lib/proc.c · proc_table_remove]: drop the table, its DDL
+    record, every reference declaration pointing AT it, and — like
+    grn_obj_remove's cascade — every built index the table hosted (as
+    a lexicon) or fed (as the source)."""
     if name not in ctx.tables:
         raise ValueError(f"unknown table {name!r}")
+    _drop_dependent_indexes(ctx, name)
     ctx.tables.pop(name)
     ctx.indexes.pop(name, None)
     ctx.id_cols.pop(name, None)
@@ -357,6 +382,9 @@ def _cmd_column_remove(ctx: CommandContext, table: str, name: str):
         raise ValueError(f"unknown column {table}.{name}")
     if name == ctx.id_cols.get(table):
         raise ValueError(f"cannot remove the key column {name!r}")
+    # cascade: an index BUILT FROM this column must not keep serving
+    # matches against data that no longer exists [G: grn_obj_remove]
+    _drop_dependent_indexes(ctx, table, column=name)
     ctx.tables[table] = ctx.tables[table].drop(name)
     ddl_cols.pop(name, None)
     ctx.references.get(table, {}).pop(name, None)

@@ -55,13 +55,17 @@ def onigmo_to_java(pattern: str) -> str:
     - ``\\h``/``\\H`` are HEX-DIGIT classes in Onigmo but horizontal
       whitespace in Java → ``[0-9a-fA-F]`` / ``[^0-9a-fA-F]``;
     - POSIX brackets ``[[:alpha:]]`` (and ``[:^alpha:]``) → ``\\p{..}``;
-    - Ruby's inline ``m`` flag means DOTALL while Java's means
-      MULTILINE → ``(?m)``/``(?m:`` flip to ``s``; Ruby-only ``a d u``
-      flags drop;
-    - a literal ``]`` first in a class (legal in Onigmo) gets escaped.
+    - ``^``/``$`` are ALWAYS line anchors in Onigmo — the translation
+      is prefixed with ``(?m)`` so Java matches lines too; Ruby's
+      inline ``m`` flag means DOTALL while Java's means MULTILINE →
+      ``(?m)``/``(?m:`` flip to ``s``; Ruby-only ``a d u`` flags drop;
+    - a literal ``]`` first in a class (legal in Onigmo) gets escaped;
+    - ``\\H`` inside a class and unknown POSIX bracket names raise
+      ``ValueError`` — Java would PARSE both but with silently
+      different semantics, which is worse than an error.
 
     Shared constructs pass through verbatim; Onigmo features with no
-    Java equivalent are left for Java's parser to reject loudly."""
+    Java equivalent that Java's own parser rejects are left to it."""
     out: list[str] = []
     i, n = 0, len(pattern)
     in_class = False
@@ -73,6 +77,14 @@ def onigmo_to_java(pattern: str) -> str:
                 out.append("0-9a-fA-F" if in_class else "[0-9a-fA-F]")
             elif nxt == "H" and not in_class:
                 out.append("[^0-9a-fA-F]")
+            elif nxt == "H":
+                # inside a class a negated set can't be spliced in; Java
+                # would silently read \H as non-horizontal-whitespace
+                raise ValueError(
+                    r"\H inside a character class has no Java regex "
+                    "equivalent (Onigmo: non-hex-digit); rewrite the "
+                    "class without it"
+                )
             else:
                 out.append(pattern[i : i + 2])
             i += 2
@@ -83,14 +95,19 @@ def onigmo_to_java(pattern: str) -> str:
                 name = pattern[i + 2 : j]
                 neg = name.startswith("^")
                 repl = _POSIX_TO_JAVA.get(name[1:] if neg else name)
-                if repl is not None:
-                    if neg:
-                        repl = (repl.replace("\\p{", "\\P{")
-                                if repl.startswith("\\p{")
-                                else {"\\s": "\\S", "\\w": "\\W"}[repl])
-                    out.append(repl)
-                    i = j + 2
-                    continue
+                if repl is None:
+                    # Onigmo raises on unknown POSIX names; Java would
+                    # silently parse [[:foo:]] as a literal class
+                    raise ValueError(
+                        f"unknown POSIX bracket [:{name}:] in regex"
+                    )
+                if neg:
+                    repl = (repl.replace("\\p{", "\\P{")
+                            if repl.startswith("\\p{")
+                            else {"\\s": "\\S", "\\w": "\\W"}[repl])
+                out.append(repl)
+                i = j + 2
+                continue
         if c == "[" and not in_class:
             in_class = True
             out.append(c)
@@ -117,7 +134,10 @@ def onigmo_to_java(pattern: str) -> str:
                 continue
         out.append(c)
         i += 1
-    return "".join(out)
+    # Onigmo's ^/$ are ALWAYS line anchors (Ruby has no MULTILINE flag
+    # to enable — it's the baseline); Java defaults to string anchors,
+    # so the translation runs under (?m)
+    return "(?m)" + "".join(out)
 
 #: a match op at the END of a code chunk — the value is the next string
 #: literal token (ops are ordered longest-first in the alternation)

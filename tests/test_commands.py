@@ -443,3 +443,38 @@ def test_ddl_remove_and_object_exist(spark, tmp_path):
     assert ctx.tables["D"].columns == ["_id", "text"]
     execute(ctx, "table_remove", name="D")
     assert execute(ctx, "object_exist", name="D") is False
+
+
+def test_ddl_remove_cascades_drop_dependent_indexes(spark, tmp_path):
+    """grn_obj_remove-style cascade: removing the LEXICON table, or the
+    SOURCE column an index was built from, must drop the built index —
+    never leave it serving matches against removed objects — and clear
+    the now-dangling DDL entry so a rebuilt table can't be clobbered."""
+    def fresh(prefix):
+        ctx = CommandContext(spark, index_root=str(tmp_path / prefix))
+        execute(ctx, "table_create", name="D", flags="TABLE_NO_KEY")
+        execute(ctx, "column_create", table="D", name="text", type="Text")
+        execute(ctx, "load", table="D",
+                values=[{"_id": 1, "text": "spark fast"}])
+        execute(ctx, "table_create", name="Lex", key_type="ShortText",
+                default_tokenizer="TokenDelimit")
+        execute(ctx, "column_create", table="Lex", name="d_idx",
+                flags="COLUMN_INDEX", type="D", source="text")
+        assert "D" in ctx.indexes
+        return ctx
+
+    # removing the LEXICON table drops the index it hosted
+    ctx = fresh("a")
+    execute(ctx, "table_remove", name="Lex")
+    assert "D" not in ctx.indexes
+
+    # removing the SOURCE column drops the index built from it
+    ctx = fresh("b")
+    execute(ctx, "column_remove", table="D", name="text")
+    assert "D" not in ctx.indexes
+    assert execute(ctx, "object_exist", name="Lex.d_idx") is False
+
+    # removing the SOURCE table clears the lexicon's dangling DDL entry
+    ctx = fresh("c")
+    execute(ctx, "table_remove", name="D")
+    assert execute(ctx, "object_exist", name="Lex.d_idx") is False

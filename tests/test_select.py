@@ -23,13 +23,14 @@ def docs(spark):
     ('text @ "spark"', "contains(text, 'spark')"),
     ('text @^ "sp"', "startswith(text, 'sp')"),
     ('text @$ "rk"', "endswith(text, 'rk')"),
-    ('text @~ "s.k"', "(text RLIKE 's.k')"),
+    ('text @~ "s.k"', "(text RLIKE '(?m)s.k')"),
     ("all_records()", "true"),
     # operators INSIDE string literals must survive untouched
     ('text @ "a && b"', "contains(text, 'a && b')"),
     ('name == "x!y"', 'name = "x!y"'),
     ("name == 'a||b == c'", "name = 'a||b == c'"),
-    ('a @ "x" && b @~ "y|z"', "contains(a, 'x') AND (b RLIKE 'y|z')"),
+    ('a @ "x" && b @~ "y|z"',
+     "contains(a, 'x') AND (b RLIKE '(?m)y|z')"),
     ('in_values(lang, "a&&b", "c")', 'lang IN ( "a&&b", "c")'),
 ])
 def test_script_to_sql(expr, sql):
@@ -649,10 +650,18 @@ ONIGMO_CASES = [
 def test_onigmo_to_java(src, want):
     """@~ patterns are Onigmo dialect [G: vendor/onigmo]; Spark RLIKE
     runs java.util.regex — the silently-diverging constructs (\\h hex
-    class, POSIX brackets, Ruby's m-means-dotall) must be bridged."""
+    class, POSIX brackets, Ruby's always-on line anchors and
+    m-means-dotall) must be bridged; untranslatable class constructs
+    and unknown POSIX names raise instead of silently diverging."""
     from groonga_spark.select import onigmo_to_java
 
-    assert onigmo_to_java(src) == want
+    # every translation runs under (?m): Onigmo ^/$ are ALWAYS line
+    # anchors, Java defaults to string anchors
+    assert onigmo_to_java(src) == "(?m)" + want
+    with pytest.raises(ValueError, match="POSIX"):
+        onigmo_to_java("[[:foo:]]")
+    with pytest.raises(ValueError, match="Java regex"):
+        onigmo_to_java(r"[x\H]")
 
 
 def test_regex_match_bridges_dialect_end_to_end(spark):
@@ -670,7 +679,8 @@ def test_regex_match_bridges_dialect_end_to_end(spark):
         with select(df, filter=flt, limit=-1, sort_keys="doc_id") as r:
             return [x["doc_id"] for x in r.hits.collect()]
 
-    assert ids('text @~ "^\\\\h+$"') == [1, 4]       # Onigmo \h = hex
+    # Onigmo ^/$ are LINE anchors: doc 3's lines "a"/"b" are hex too
+    assert ids('text @~ "^\\\\h+$"') == [1, 3, 4]     # Onigmo \h = hex
     assert ids('text @~ "[[:punct:]]"') == [2]       # POSIX bracket
     assert ids('text @~ "^[[:alpha:][:space:]!]+$"') == [1, 2, 3]
     assert ids('text @~ "(?m)^a.b$"') == [3]         # Ruby m = dotall
