@@ -171,6 +171,14 @@ _SIMILAR_INPUT = (
 )
 
 
+def q_ft_tfidf(spark, sf):
+    """Pluggable scorer selected per query (SURVEY §2.11,
+    [G: lib/scorer.c · scorer_tf_idf]): same index, same QL, tf×idf
+    ranking instead of BM25 — the registry drives the pruned kernels."""
+    hits = _index(spark, sf).search("spark merge", k=10, scorer="tf_idf")
+    return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_ft_similar(spark, sf):
     """*S similar search [G: GRN_OP_SIMILAR → grn_ii_similar_search]:
     docs sharing the input's RARE terms, BM25-ranked; the input's known
@@ -1226,6 +1234,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_similar": q_ft_similar,
         "ft_pattern": q_ft_pattern,
         "ft_weight": q_ft_weight,
+        "ft_tfidf": q_ft_tfidf,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
         "select_query_filter": q_select_query_filter,
@@ -1367,6 +1376,30 @@ agg AS (SELECT doc_id, sum(sco) AS score, count(*) AS nt FROM sc GROUP BY doc_id
 SELECT doc_id, round(score, 4) AS score FROM agg
 WHERE nt = {len(terms)}
 ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _tfidf_sql(terms: list[str], k: int) -> str:
+    """tf_idf scorer oracle [G: lib/scorer.c · scorer_tf_idf]:
+    score = Σ idf(t)·tf(t) over the query terms, AND semantics."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') w
+           FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM d),
+stats AS (SELECT count(*) AS n FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS term FROM d)
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term,
+              ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf AS sco
+       FROM tf JOIN dft USING (term), stats s),
+agg AS (SELECT doc_id, sum(sco) AS raw, count(*) AS nt FROM sc
+        GROUP BY doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM agg
+WHERE nt = {len(terms)}
+ORDER BY raw DESC, doc_id LIMIT {k}
 """
 
 
@@ -1701,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
              AND b.term = 'merge' AND abs(a.pos - b.pos) <= 3""",
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
         "ft_similar": _similar_sql(_SIMILAR_INPUT, 30, 15),
+        "ft_tfidf": _tfidf_sql(["spark", "merge"], 10),
         # pattern:[a-z]{3,} ⇒ token stream = words of len ≥ 3 (the corpus
         # is pure lowercase alpha), so the phrase check runs over the
         # length-filtered word list
