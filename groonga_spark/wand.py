@@ -1164,8 +1164,23 @@ class SegmentQueryKernel:
     PRUNE_MIN_BLOCKS = 512
 
     def _leaf_group(self, node):
-        """Term/Phrase/Near leaf → group dict; "empty" when the leaf
-        cannot match anything here; None → not pruneable."""
+        """Term/Phrase/Near/Similar leaf → group dict; "empty" when the
+        leaf cannot match anything here; None → not pruneable."""
+        if isinstance(node, Similar):
+            # rare-term-bounded *S ≡ OR over its selected tokens: an
+            # or-kind group whose members add in ascending-tid order —
+            # exactly the exhaustive Similar eval's _union_add sequence
+            # (missing/OOV members contribute nothing there too)
+            if node.tids is not None:
+                stids = sorted({t for t, _ in node.tids})
+            else:
+                toks = self.plan["tokens_by_text"].get(node.text) or []
+                stids = sorted({t for t in toks if t is not None})
+            stids = [t for t in stids if t in self.by_tid]
+            if not stids:
+                return "empty"
+            return {"kind": "or", "members": [(t, 1.0) for t in stids],
+                    "post": None}
         tids = self._leaf_tokens(node.text)
         if not tids:
             return "empty"
@@ -1206,6 +1221,13 @@ class SegmentQueryKernel:
             # hot prefix at the root: pooled-block interval pruning — no
             # per-member structures, so NO member cap applies
             return self._topk_range_pruned(ast.lo_tid, ast.hi_tid)
+        if isinstance(ast, Similar):
+            g = self._leaf_group(ast)
+            if g == "empty":
+                return empty
+            if len(g["members"]) == 1:
+                return self._topk_single_pruned(g["members"][0][0])
+            return self._topk_interval_pruned([g], "or")
         if isinstance(ast, (Phrase, Term, Near)):
             g = self._leaf_group(ast)
             if g == "empty":
@@ -1229,7 +1251,7 @@ class SegmentQueryKernel:
                                        "members": [(t, 1.0) for t in mem],
                                        "post": None})
                     continue
-                if not isinstance(c, (Term, Phrase, Near)):
+                if not isinstance(c, (Term, Phrase, Near, Similar)):
                     return None
                 g = self._leaf_group(c)
                 if g == "empty":
@@ -1284,7 +1306,7 @@ class SegmentQueryKernel:
                         groups.append({"kind": "or",
                                        "members": [(t, 1.0) for t in mem],
                                        "post": None})
-                    elif isinstance(c, (Term, Phrase, Near)):
+                    elif isinstance(c, (Term, Phrase, Near, Similar)):
                         g = self._leaf_group(c)
                         if g == "empty":
                             return empty  # an AND child can't match

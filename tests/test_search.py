@@ -1597,3 +1597,59 @@ def test_cache_generation_ignores_staging_dirs(spark, corpus, tmp_path):
     gen_staging = idx._cache_generation()
     os.replace(os.path.join(d, ".stage-abc"), os.path.join(d, "t-abc"))
     assert idx._cache_generation() != gen_staging
+
+
+def test_similar_rides_the_pruned_kernel(spark, tmp_path):
+    """Rare-term-bounded *S is an or-kind group in the interval pruner
+    (ascending-tid member order == the exhaustive _union_add sequence):
+    root Similar, Similar inside OR, and Similar as an AND child all
+    prune bit-identically instead of falling back to exhaustive."""
+    import random
+
+    from groonga_spark.ql import parse_query
+    from groonga_spark.wand import SegmentQueryKernel, _topk
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(14)] + ["alpha", "beta"]
+    rows = []
+    for d in range(3000):
+        words = ["alpha"] * (22 if d < 90 else 1) if rng.random() < 0.5 \
+            else []
+        words += [rng.choice(vocab) for _ in range(rng.randrange(4, 26))]
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx_sim_pruned")
+    build_index(spark, docs, path, mode="delimit", segment_size=1 << 20,
+                shard_size=48)
+    idx = FulltextIndex(spark, path)
+
+    def sim(n_toks):
+        toks = [rng.choice(vocab + ["zzznope"]) for _ in range(n_toks)]
+        return '*S"' + " ".join(toks) + '"'
+
+    pruned_used = 0
+    for _ in range(40):
+        shape = rng.randrange(3)
+        if shape == 0:
+            q = sim(rng.randrange(2, 10))
+        elif shape == 1:
+            q = f"{sim(rng.randrange(2, 6))} OR {rng.choice(vocab)}"
+        else:
+            q = f"{sim(rng.randrange(2, 6))} {rng.choice(vocab)}"
+        ast = idx._expand_ast(parse_query(q))
+        plan = idx._plan(ast)
+        if not plan["needed_tids"]:
+            continue
+        pdf = idx._local_blocks(plan["needed_tids"], plan, force=True)
+        k = rng.choice([1, 5, 20])
+        kern = SegmentQueryKernel(pdf, plan, idx._stats(), k)
+        kern.PRUNE_MIN_BLOCKS = 0
+        pr = kern._pruned_multi(ast)
+        assert pr is not None, q  # *S shapes must take the pruned path
+        want = _topk(*SegmentQueryKernel(pdf, plan, idx._stats(), k)
+                     .eval(ast), k)
+        assert (pr[0] == want[0]).all(), (q, k)
+        assert (pr[1] == want[1]).all(), (q, k)
+        pruned_used += 1
+    assert pruned_used >= 30
