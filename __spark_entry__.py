@@ -171,6 +171,26 @@ _SIMILAR_INPUT = (
 )
 
 
+def q_logical_range(spark, sf):
+    """logical_range_filter [G: plugins/sharding/logical_range_filter.rb]
+    through the command façade: the shard-key range predicate IS the
+    shard enumeration (Catalyst partition pruning over an Iceberg
+    days(ts) layout at prod scale); limit=-1 returns the whole range
+    slice, so the row SET is deterministic for the hash compare."""
+    from groonga_spark.commands import CommandContext, execute
+
+    ctx = CommandContext(spark)
+    ctx.register("Events", _t(spark, sf, "events"), id_col="event_id")
+    page = execute(
+        ctx, "logical_range_filter", logical_table="Events",
+        shard_key="ts", min="2024-01-10 00:00:00",
+        max="2024-01-20 00:00:00", limit=-1,
+        filter='event_type == "click"', output_columns="event_id,value",
+    )
+    return spark.createDataFrame([tuple(r) for r in page[1:]],
+                                 "event_id long, value double")
+
+
 def q_ft_tfidf(spark, sf):
     """Pluggable scorer selected per query (SURVEY §2.11,
     [G: lib/scorer.c · scorer_tf_idf]): same index, same QL, tf×idf
@@ -1235,6 +1255,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_pattern": q_ft_pattern,
         "ft_weight": q_ft_weight,
         "ft_tfidf": q_ft_tfidf,
+        "logical_range": q_logical_range,
         # select pipeline (§2.2–2.7, §3.1)
         "select_filter": q_select_filter,
         "select_query_filter": q_select_query_filter,
@@ -1735,6 +1756,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_topk_bm25": _bm25_sql(["spark", "merge"], 10),
         "ft_similar": _similar_sql(_SIMILAR_INPUT, 30, 15),
         "ft_tfidf": _tfidf_sql(["spark", "merge"], 10),
+        "logical_range": """
+            SELECT event_id, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+              AND event_type = 'click'""",
         # pattern:[a-z]{3,} ⇒ token stream = words of len ≥ 3 (the corpus
         # is pure lowercase alpha), so the phrase check runs over the
         # length-filtered word list

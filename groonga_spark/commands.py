@@ -619,10 +619,13 @@ def _cmd_select(
     adjuster: list | None = None,
     scorer: str | None = None,
     output_type: str = "python",
+    _df: DataFrame | None = None,
 ):
     """The reference's `select` with its parameter names/conventions:
     comma-separated sort_keys/output_columns/drilldown strings, body
-    shaped ``[[[n_hits], [[col, type]...], rows...], drilldowns...]``."""
+    shaped ``[[[n_hits], [[col, type]...], rows...], drilldowns...]``.
+    ``_df`` (internal): a pre-filtered frame standing in for the table —
+    the logical_* commands enter here with the shard-range slice."""
     from groonga_spark.select import select as _select
 
     sel_kwargs = dict(
@@ -648,7 +651,8 @@ def _cmd_select(
         sel_kwargs["drilldowns"] = [k.strip() for k in drilldown.split(",")]
     elif drilldowns is not None:
         sel_kwargs["drilldowns"] = drilldowns
-    with _select(ctx.tables[table],
+    base_df = _df if _df is not None else ctx.tables[table]
+    with _select(base_df,
                  index=ctx.indexes.get(table), **sel_kwargs) as res:
         body = [_select_body(res, res.hits)]
         for label in (res.drilldowns or {}):
@@ -666,6 +670,106 @@ def _cmd_select(
     if output_type == "json":
         return json.dumps(body, default=str)
     return body
+
+
+# -- logical_* commands (time-sharded selects) -------------------------------
+#
+# The reference shards log-style tables by day (`table_20240115`) and the
+# logical_* commands enumerate + prune shards by a time range
+# [G: plugins/sharding/*.rb · LogicalSelect / LogicalCount /
+# LogicalRangeFilter]. Spark-first, a "logical table" is ONE table
+# partitioned by the shard key (Iceberg days(ts) at prod scale): the
+# range predicate below IS the shard enumeration — Catalyst partition
+# pruning reads only the shards in range.
+
+def _shard_range(df: DataFrame, shard_key: str,
+                 min=None, min_border: str = "include",  # noqa: A002
+                 max=None, max_border: str = "include"):  # noqa: A002
+    for b in (min_border, max_border):
+        if b not in ("include", "exclude"):
+            raise ValueError(f"border must be include|exclude, got {b!r}")
+    ktype = dict(df.dtypes).get(shard_key)
+    if ktype is None:
+        raise ValueError(f"unknown shard key {shard_key!r}")
+    from pyspark.sql import functions as F
+
+    k = F.col(shard_key)
+    if min is not None:
+        lo = F.lit(min).cast(ktype)
+        df = df.filter(k >= lo if min_border == "include" else k > lo)
+    if max is not None:
+        hi = F.lit(max).cast(ktype)
+        df = df.filter(k <= hi if max_border == "include" else k < hi)
+    return df
+
+
+def _cmd_logical_select(ctx: CommandContext, logical_table: str,
+                        shard_key: str,
+                        min=None, min_border: str = "include",  # noqa: A002
+                        max=None, max_border: str = "include",  # noqa: A002
+                        **select_params):
+    """[G: plugins/sharding/logical_select.rb] — `select` over the
+    shards in [min, max] (borders per parameter); all select parameters
+    (filter/sort_keys/drilldowns/...) pass through."""
+    df = _shard_range(ctx.tables[logical_table], shard_key,
+                      min, min_border, max, max_border)
+    return _cmd_select(ctx, table=logical_table, _df=df, **select_params)
+
+
+def _cmd_logical_count(ctx: CommandContext, logical_table: str,
+                       shard_key: str,
+                       min=None, min_border: str = "include",  # noqa: A002
+                       max=None, max_border: str = "include",  # noqa: A002
+                       filter: str | None = None):  # noqa: A002
+    """[G: plugins/sharding/logical_count.rb] — one pruned count."""
+    from pyspark.sql import functions as F
+
+    from groonga_spark.select import script_to_sql
+
+    df = _shard_range(ctx.tables[logical_table], shard_key,
+                      min, min_border, max, max_border)
+    if filter is not None:
+        df = df.filter(F.expr(script_to_sql(filter)))
+    return df.count()
+
+
+def _cmd_logical_range_filter(ctx: CommandContext, logical_table: str,
+                              shard_key: str,
+                              min=None,  # noqa: A002
+                              min_border: str = "include",
+                              max=None,  # noqa: A002
+                              max_border: str = "include",
+                              order: str = "ascending",
+                              offset: int = 0, limit: int = 10,
+                              filter: str | None = None,  # noqa: A002
+                              output_columns: str | None = None):
+    """[G: plugins/sharding/logical_range_filter.rb] — the streaming
+    pagination command: rows ordered by the shard key, offset/limit,
+    NO total count (the reference skips it so early shards can stream
+    without scanning the rest — here, a TakeOrderedAndProject instead
+    of a count job). Body = [[col, type]...] + rows."""
+    from pyspark.sql import functions as F
+
+    from groonga_spark.select import script_to_sql
+
+    if order not in ("ascending", "descending"):
+        raise ValueError(f"order must be ascending|descending: {order!r}")
+    df = _shard_range(ctx.tables[logical_table], shard_key,
+                      min, min_border, max, max_border)
+    if filter is not None:
+        df = df.filter(F.expr(script_to_sql(filter)))
+    key = F.col(shard_key)
+    df = df.orderBy(key.asc() if order == "ascending" else key.desc())
+    if output_columns:
+        df = df.select(*[c.strip() for c in output_columns.split(",")])
+    limit = int(limit)
+    if limit >= 0:
+        rows = df.limit(int(offset) + limit).collect()[int(offset):]
+    else:  # limit=-1: all rows past offset (capped like select bodies)
+        rows = df.limit(int(offset) + SELECT_BODY_MAX_ROWS).collect()
+        rows = rows[int(offset):]
+    cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+    return [cols, *[list(r) for r in rows]]
 
 
 def _cmd_dump(ctx: CommandContext, table: str, path: str):
@@ -700,6 +804,9 @@ _COMMANDS = {
     "load": _cmd_load,
     "delete": _cmd_delete,
     "select": _cmd_select,
+    "logical_select": _cmd_logical_select,
+    "logical_count": _cmd_logical_count,
+    "logical_range_filter": _cmd_logical_range_filter,
     "dump": _cmd_dump,
     "cache_limit": _cmd_cache_limit,
 }
