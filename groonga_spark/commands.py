@@ -586,13 +586,19 @@ def _cmd_delete(ctx: CommandContext, table: str, key: str | None = None,
 SELECT_BODY_MAX_ROWS = 100_000
 
 
+def _cols_header(df: DataFrame) -> list:
+    """THE body column header shape — shared by select bodies,
+    drilldown bodies, and logical_range_filter pages."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
 def _select_body(res, hits_df: DataFrame) -> list:
     # fetch cap+1 so truncation is DETECTED, never silent: a limit=-1
     # ("all rows") select bigger than the cap keeps the true n_hits in
     # the header and marks the body as truncated instead of quietly
     # returning fewer rows than n_hits.
     rows = hits_df.limit(SELECT_BODY_MAX_ROWS + 1).collect()
-    cols = [[f.name, f.dataType.simpleString()] for f in hits_df.schema.fields]
+    cols = _cols_header(hits_df)
     header: list = [res.n_hits]
     if len(rows) > SELECT_BODY_MAX_ROWS:
         rows = rows[:SELECT_BODY_MAX_ROWS]
@@ -682,6 +688,28 @@ def _cmd_select(
 # range predicate below IS the shard enumeration — Catalyst partition
 # pruning reads only the shards in range.
 
+def _shard_bound(value, ktype: str):
+    """A range bound validated DRIVER-SIDE before it becomes a cast: a
+    typo'd timestamp cast to NULL would silently filter out EVERY row
+    (ts >= NULL is never true) where the reference command errors."""
+    if ktype.startswith(("timestamp", "date")):
+        import pandas as pd
+
+        try:
+            pd.Timestamp(value)
+        except (ValueError, TypeError) as e:
+            raise ValueError(f"bad shard-key bound {value!r}: {e}") from e
+    elif ktype in ("tinyint", "smallint", "int", "bigint",
+                   "float", "double") or ktype.startswith("decimal"):
+        try:
+            float(value)
+        except (ValueError, TypeError) as e:
+            raise ValueError(f"bad shard-key bound {value!r}: {e}") from e
+    from pyspark.sql import functions as F
+
+    return F.lit(value).cast(ktype)
+
+
 def _shard_range(df: DataFrame, shard_key: str,
                  min=None, min_border: str = "include",  # noqa: A002
                  max=None, max_border: str = "include"):  # noqa: A002
@@ -695,10 +723,10 @@ def _shard_range(df: DataFrame, shard_key: str,
 
     k = F.col(shard_key)
     if min is not None:
-        lo = F.lit(min).cast(ktype)
+        lo = _shard_bound(min, ktype)
         df = df.filter(k >= lo if min_border == "include" else k > lo)
     if max is not None:
-        hi = F.lit(max).cast(ktype)
+        hi = _shard_bound(max, ktype)
         df = df.filter(k <= hi if max_border == "include" else k < hi)
     return df
 
@@ -721,16 +749,15 @@ def _cmd_logical_count(ctx: CommandContext, logical_table: str,
                        min=None, min_border: str = "include",  # noqa: A002
                        max=None, max_border: str = "include",  # noqa: A002
                        filter: str | None = None):  # noqa: A002
-    """[G: plugins/sharding/logical_count.rb] — one pruned count."""
-    from pyspark.sql import functions as F
-
-    from groonga_spark.select import script_to_sql
-
-    df = _shard_range(ctx.tables[logical_table], shard_key,
-                      min, min_border, max, max_border)
-    if filter is not None:
-        df = df.filter(F.expr(script_to_sql(filter)))
-    return df.count()
+    """[G: plugins/sharding/logical_count.rb] — one pruned count. The
+    filter gets the FULL select semantics (script query()/fuzzy_search()
+    rewrites, reference dot-paths) by running the select pipeline at
+    limit=0, same as logical_select's filter."""
+    body = _cmd_logical_select(
+        ctx, logical_table, shard_key, min, min_border, max, max_border,
+        filter=filter, limit=0,
+    )
+    return body[0][0][0]
 
 
 def _cmd_logical_range_filter(ctx: CommandContext, logical_table: str,
@@ -744,31 +771,45 @@ def _cmd_logical_range_filter(ctx: CommandContext, logical_table: str,
                               filter: str | None = None,  # noqa: A002
                               output_columns: str | None = None):
     """[G: plugins/sharding/logical_range_filter.rb] — the streaming
-    pagination command: rows ordered by the shard key, offset/limit,
-    NO total count (the reference skips it so early shards can stream
-    without scanning the rest — here, a TakeOrderedAndProject instead
-    of a count job). Body = [[col, type]...] + rows."""
-    from pyspark.sql import functions as F
-
-    from groonga_spark.select import script_to_sql
+    pagination command: rows ordered by (shard key, record id) —
+    the id tie-break keeps consecutive pages disjoint when shard-key
+    values repeat — offset/limit, NO total count (the reference skips
+    it so early shards can stream without scanning the rest; here a
+    TakeOrderedAndProject instead of a count job). Runs through the
+    select pipeline (need_hit_count=False), so filters get the full
+    script semantics. Body = [[col, type]...] + rows; limit=-1 raises
+    past SELECT_BODY_MAX_ROWS instead of silently truncating a page
+    that has no count header to flag it."""
+    from groonga_spark.select import select as _select
 
     if order not in ("ascending", "descending"):
         raise ValueError(f"order must be ascending|descending: {order!r}")
+    offset, limit = int(offset), int(limit)
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0: {offset}")
+    if limit < -1:
+        raise ValueError(f"limit must be >= -1: {limit}")
     df = _shard_range(ctx.tables[logical_table], shard_key,
                       min, min_border, max, max_border)
-    if filter is not None:
-        df = df.filter(F.expr(script_to_sql(filter)))
-    key = F.col(shard_key)
-    df = df.orderBy(key.asc() if order == "ascending" else key.desc())
-    if output_columns:
-        df = df.select(*[c.strip() for c in output_columns.split(",")])
-    limit = int(limit)
-    if limit >= 0:
-        rows = df.limit(int(offset) + limit).collect()[int(offset):]
-    else:  # limit=-1: all rows past offset (capped like select bodies)
-        rows = df.limit(int(offset) + SELECT_BODY_MAX_ROWS).collect()
-        rows = rows[int(offset):]
-    cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+    id_col = ctx.id_cols.get(logical_table, "doc_id")
+    sort = ("" if order == "ascending" else "-") + shard_key
+    if id_col != shard_key:
+        sort += f",{id_col}"
+    refs = ctx.resolve_references(logical_table)
+    fetch = limit if limit >= 0 else SELECT_BODY_MAX_ROWS + 1
+    with _select(df, index=ctx.indexes.get(logical_table),
+                 filter=filter, sort_keys=sort, offset=offset,
+                 limit=fetch, output_columns=output_columns,
+                 id_col=id_col, references=refs or None,
+                 need_hit_count=False) as res:
+        rows = res.hits.collect()
+        cols = _cols_header(res.hits)
+    if limit == -1 and len(rows) > SELECT_BODY_MAX_ROWS:
+        raise ValueError(
+            "logical_range_filter limit=-1 exceeds "
+            f"SELECT_BODY_MAX_ROWS={SELECT_BODY_MAX_ROWS}; paginate "
+            "with offset/limit"
+        )
     return [cols, *[list(r) for r in rows]]
 
 

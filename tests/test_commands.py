@@ -542,3 +542,70 @@ def test_logical_commands_over_time_shards(spark):
     with _pytest.raises(ValueError, match="shard key"):
         execute(ctx, "logical_count", logical_table="Events",
                 shard_key="nope")
+
+
+def test_logical_range_filter_hardening(spark):
+    """Round-5 review fixes: deterministic tie-break pagination, loud
+    bad-bound/offset errors, script query() filters work in
+    logical_count, and limit=-1 raises past the body cap instead of
+    silently truncating an un-headered page."""
+    import pytest as _pytest
+
+    import groonga_spark.commands as cmds
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # collapse ts to DAY so shard-key ties are guaranteed
+    days = events.select("event_id", F.date_trunc("day", "ts").alias("ts"),
+                         "event_type")
+    ctx = CommandContext(spark)
+    ctx.register("Ev", days, id_col="event_id")
+
+    # pages are disjoint and contiguous despite massive ts ties
+    pages = [
+        [r[0] for r in cmds.execute(
+            ctx, "logical_range_filter", logical_table="Ev",
+            shard_key="ts", offset=o, limit=50,
+            output_columns="event_id,ts")[1:]]
+        for o in (0, 50, 100)
+    ]
+    flat = [x for p in pages for x in p]
+    assert len(flat) == len(set(flat)) == 150
+    want = [r["event_id"] for r in
+            days.orderBy("ts", "event_id").limit(150).collect()]
+    assert flat == want
+
+    with _pytest.raises(ValueError, match="bad shard-key bound"):
+        cmds.execute(ctx, "logical_count", logical_table="Ev",
+                     shard_key="ts", min="2024-13-45 00:00:00")
+    with _pytest.raises(ValueError, match="offset"):
+        cmds.execute(ctx, "logical_range_filter", logical_table="Ev",
+                     shard_key="ts", offset=-1)
+    with _pytest.raises(ValueError, match="limit"):
+        cmds.execute(ctx, "logical_range_filter", logical_table="Ev",
+                     shard_key="ts", limit=-5)
+
+    # limit=-1 past the cap raises — never a silent truncated page
+    old = cmds.SELECT_BODY_MAX_ROWS
+    cmds.SELECT_BODY_MAX_ROWS = 100
+    try:
+        with _pytest.raises(ValueError, match="paginate"):
+            cmds.execute(ctx, "logical_range_filter", logical_table="Ev",
+                         shard_key="ts", limit=-1)
+    finally:
+        cmds.SELECT_BODY_MAX_ROWS = old
+
+    # logical_count filters get full select semantics (script query())
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from groonga_spark.build import build_index
+    from groonga_spark.search import FulltextIndex
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="gs_logidx_")
+    build_index(spark, docs, p, mode="delimit", segment_size=200)
+    ctx.register("Docs", docs, index=FulltextIndex(spark, p))
+    n = cmds.execute(ctx, "logical_count", logical_table="Docs",
+                     shard_key="doc_id", min=0, max=250,
+                     filter='query("text", "spark")')
+    m = {r["doc_id"] for r in
+         ctx.indexes["Docs"].match_docs("spark").collect()}
+    assert n == len([d for d in m if 0 <= d <= 250]) > 0
